@@ -1,0 +1,86 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgt_tpu.ops.attention import _xla_attention, dot_product_attention
+from mmgt_tpu.ops.norms import group_norm, layer_norm
+
+
+def _rand(shape, seed=0, dtype=jnp.float32):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), dtype
+    )
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,skv,d",
+    [
+        (2, 8, 64, 64, 40),     # SD1.5 level-0 head dim
+        (1, 8, 100, 228, 80),   # ragged seq + reference-concat KV
+        (2, 4, 128, 32, 160),
+    ],
+)
+def test_flash_attention_matches_xla(b, h, sq, skv, d):
+    q = _rand((b, h, sq, d), 0)
+    k = _rand((b, h, skv, d), 1)
+    v = _rand((b, h, skv, d), 2)
+    ref = _xla_attention(q, k, v, 1.0 / np.sqrt(d))
+    out = dot_product_attention(q, k, v, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_attention_bf16():
+    q = _rand((1, 2, 64, 64), 3, jnp.bfloat16)
+    k = _rand((1, 2, 64, 64), 4, jnp.bfloat16)
+    v = _rand((1, 2, 64, 64), 5, jnp.bfloat16)
+    ref = _xla_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        1.0 / 8.0,
+    )
+    out = dot_product_attention(q, k, v, impl="pallas_interpret")
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.03, rtol=0.05
+    )
+
+
+def test_group_norm_matches_torch_semantics():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).standard_normal((2, 6, 5, 32)).astype(np.float32)
+    scale = np.random.default_rng(1).standard_normal(32).astype(np.float32)
+    bias = np.random.default_rng(2).standard_normal(32).astype(np.float32)
+    # torch GroupNorm works on NCHW
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    gn = torch.nn.GroupNorm(8, 32, eps=1e-6)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(scale))
+        gn.bias.copy_(torch.from_numpy(bias))
+        ref = gn(tx).permute(0, 2, 3, 1).numpy()
+    out = group_norm(jnp.asarray(x), 8, jnp.asarray(scale), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_group_norm_fused_silu():
+    x = _rand((2, 4, 4, 32), 0)
+    base = group_norm(x, 4)
+    fused = group_norm(x, 4, act="silu")
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(base * jax.nn.sigmoid(base)), atol=1e-5
+    )
+
+
+def test_layer_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(3).standard_normal((3, 7, 64)).astype(np.float32)
+    ln = torch.nn.LayerNorm(64)
+    with torch.no_grad():
+        ln.weight.uniform_(-1, 1)
+        ln.bias.uniform_(-1, 1)
+        ref = ln(torch.from_numpy(x)).numpy()
+    out = layer_norm(
+        jnp.asarray(x),
+        jnp.asarray(ln.weight.detach().numpy()),
+        jnp.asarray(ln.bias.detach().numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
