@@ -1,0 +1,368 @@
+"""UNet building blocks: resnets, spatial/temporal/audio transformers.
+
+All blocks are channel-last and operate on frame-folded tensors
+(N = batch*frames, H, W, C) for spatial ops; temporal ops receive the
+`video_length` to unfold. This is the TPU-native equivalent of the
+reference's "inflated" 2D-ops-over-frames design (src/models/resnet.py:9-28)
+— here the fold is just a reshape the compiler sees through.
+
+Reference-feature injection is functional: the ReferenceNet returns a list
+of per-block bank tensors; the denoising UNet's transformer blocks take the
+matching bank as an ordinary input and concatenate it into self-attention
+K/V (replacing the reference's monkeypatch machinery,
+src/models/mutual_self_attention.py:93-302).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmgt_tpu.nn.layers import Attention, FeedForward, GroupNorm, LayerNorm
+
+
+# --------------------------------------------------------------------------
+# resnet / sampling blocks
+# --------------------------------------------------------------------------
+class ResnetBlock(nn.Module):
+    """GN-SiLU-conv x2 with time-embedding add (SD UNet resnet).
+
+    x: (N, H, W, C); temb: (N, Cte) or None.
+    """
+
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
+        in_ch = x.shape[-1]
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm1")(x)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, act="silu", name="norm2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        return nn.Conv(c, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
+        return nn.Conv(c, (3, 3), dtype=self.dtype, name="conv")(x)
+
+
+# --------------------------------------------------------------------------
+# transformer blocks
+# --------------------------------------------------------------------------
+class BasicTransformerBlock(nn.Module):
+    """ReferenceNet-side block: self-attn, CLIP cross-attn, GEGLU ff.
+
+    Returns (out, bank) where bank = norm1(x) — the tensor the denoiser's
+    matching block concatenates into its self-attention K/V.
+    """
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
+        normed = LayerNorm(name="norm1")(x)
+        bank = normed
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
+            normed
+        )
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
+            LayerNorm(name="norm2")(x), context
+        )
+        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return x, bank
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Denoiser-side block: reference-augmented self-attn + CLIP cross-attn.
+
+    x: (B*F, L, C). `bank`: (B, L_ref, C) reference features, repeated per
+    frame inside. With `n_uncond > 0` the first n_uncond*F rows (the CFG
+    unconditional half) self-attend WITHOUT the bank while the rest attend
+    to [self, bank] — matching the reference's uc_mask semantics
+    (mutual_self_attention.py:160-186).
+    """
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        bank: Optional[jnp.ndarray] = None,
+        video_length: int = 1,
+        n_uncond: int = 0,
+    ):
+        normed = LayerNorm(name="norm1")(x)
+        attn1 = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")
+
+        if bank is None:
+            x = x + attn1(normed)
+        else:
+            f = video_length
+            bank_f = jnp.repeat(bank, f, axis=0)  # (B*F, L_ref, C)
+            if n_uncond > 0:
+                nu = n_uncond * f
+                x_u = x[:nu] + attn1(normed[:nu])
+                kv = jnp.concatenate([normed[nu:], bank_f[nu:]], axis=1)
+                x_c = x[nu:] + attn1(normed[nu:], kv)
+                x = jnp.concatenate([x_u, x_c], axis=0)
+            else:
+                kv = jnp.concatenate([normed, bank_f], axis=1)
+                x = x + attn1(normed, kv)
+
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
+            LayerNorm(name="norm2")(x), context
+        )
+        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return x
+
+
+class AudioTransformerBlock(nn.Module):
+    """MM-HAA block: self-attn + 3 parallel masked audio cross-attentions.
+
+    The paper's core mechanism (reference src/models/attention.py:486-771):
+    three audio cross-attentions whose outputs are gated by resolution-
+    matched full/face/lip spatial masks, passed through zero-init 1x1
+    convs, scaled by motion_scale=[pose, face, lip] and summed residually.
+
+    x: (B*F, L, C); audio_tokens: (B*F, L_a, 768);
+    masks: (full, face, lip), each (B*F, L); motion_scale: length-3.
+    """
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        audio_tokens: jnp.ndarray,
+        masks: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
+    ):
+        normed = LayerNorm(name="norm1")(x)
+        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
+            normed
+        )
+
+        normed = LayerNorm(name="norm2")(x)
+        full_m, face_m, lip_m = masks
+        out = x
+        for i, (name, mask, scale) in enumerate(
+            [
+                ("attn2_0", full_m, motion_scale[0]),
+                ("attn2_1", face_m, motion_scale[1]),
+                ("attn2_2", lip_m, motion_scale[2]),
+            ]
+        ):
+            h = Attention(self.heads, self.head_dim, dtype=self.dtype, name=name)(
+                normed, audio_tokens
+            )
+            h = h * mask[:, :, None].astype(h.dtype)
+            # zero-initialized 1x1 conv == Dense on channel-last tokens
+            h = nn.Dense(
+                h.shape[-1],
+                kernel_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name=f"zero_conv_{i}",
+            )(h)
+            out = out + scale * h
+        x = out
+        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return x
+
+
+# --------------------------------------------------------------------------
+# spatial transformer wrappers (GN + proj_in/out + residual)
+# --------------------------------------------------------------------------
+def _flatten_hw(x):
+    n, h, w, c = x.shape
+    return x.reshape(n, h * w, c), (h, w)
+
+
+def _unflatten_hw(x, hw):
+    n, l, c = x.shape
+    return x.reshape(n, hw[0], hw[1], c)
+
+
+class SpatialTransformer2D(nn.Module):
+    """ReferenceNet transformer: returns (out, bank)."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
+        residual = x
+        h = GroupNorm(32, 1e-6, name="norm")(x)
+        tokens, hw = _flatten_hw(h)
+        tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_in")(tokens)
+        tokens, bank = BasicTransformerBlock(
+            self.heads, self.head_dim, self.dtype, name="block"
+        )(tokens, context)
+        tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(tokens)
+        return _unflatten_hw(tokens, hw) + residual, bank
+
+
+class SpatialTransformerRef(nn.Module):
+    """Denoiser transformer with reference-bank self-attention."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        bank: Optional[jnp.ndarray],
+        video_length: int,
+        n_uncond: int = 0,
+    ):
+        residual = x
+        h = GroupNorm(32, 1e-6, name="norm")(x)
+        tokens, hw = _flatten_hw(h)
+        tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_in")(tokens)
+        tokens = TemporalBasicTransformerBlock(
+            self.heads, self.head_dim, self.dtype, name="block"
+        )(tokens, context, bank, video_length, n_uncond)
+        tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(tokens)
+        return _unflatten_hw(tokens, hw) + residual
+
+
+class SpatialTransformerAudio(nn.Module):
+    """MM-HAA audio transformer wrapper.
+
+    `inner_dim` can differ from the channel count — the reference sizes the
+    audio attention width from the *block input* channels
+    (unet_3d_blocks.py:466-470), so e.g. the 640-ch block's first audio
+    module runs at 320; reproduced here for weight parity.
+    """
+
+    heads: int
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        audio_tokens: jnp.ndarray,
+        masks,
+        motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
+    ):
+        residual = x
+        h = GroupNorm(32, 1e-6, name="norm")(x)
+        tokens, hw = _flatten_hw(h)
+        tokens = nn.Dense(self.inner_dim, dtype=self.dtype, name="proj_in")(tokens)
+        tokens = AudioTransformerBlock(
+            self.heads, self.inner_dim // self.heads, self.dtype, name="block"
+        )(tokens, audio_tokens, masks, motion_scale)
+        tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(tokens)
+        return _unflatten_hw(tokens, hw) + residual
+
+
+# --------------------------------------------------------------------------
+# temporal (motion) module
+# --------------------------------------------------------------------------
+def sinusoidal_positions(max_len: int, dim: int) -> jnp.ndarray:
+    """Interleaved sin/cos positional table (AnimateDiff motion PE,
+    reference motion_module.py:262-277)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((max_len, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe
+
+
+class TemporalTransformerBlock(nn.Module):
+    """Two temporal self-attentions + ff over (B*HW, F, C) tokens."""
+
+    heads: int
+    head_dim: int
+    max_len: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        f = x.shape[1]
+        pe = sinusoidal_positions(self.max_len, x.shape[-1])[:f]
+        for i in range(2):
+            h = LayerNorm(name=f"norm_{i}")(x)
+            h = h + pe[None].astype(h.dtype)
+            x = x + Attention(
+                self.heads, self.head_dim, dtype=self.dtype, name=f"attn_{i}"
+            )(h)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="ff_norm")(x))
+        return x
+
+
+class MotionModule(nn.Module):
+    """AnimateDiff-style temporal transformer over the frame axis.
+
+    Input (N=B*F, H, W, C); attention runs over frames at every spatial
+    location. proj_out is zero-initialized so a fresh module is an identity
+    (reference motion_module.py:72-74). num_transformer_block=1 with two
+    Temporal_Self attentions per the shipped config (animation.yaml:61-69).
+    """
+
+    heads: int = 8
+    max_len: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, video_length: int):
+        n, h, w, c = x.shape
+        b = n // video_length
+        residual = x
+        t = GroupNorm(32, 1e-6, name="norm")(x)
+        tokens = t.reshape(b, video_length, h * w, c)
+        tokens = tokens.transpose(0, 2, 1, 3).reshape(b * h * w, video_length, c)
+        tokens = nn.Dense(c, dtype=self.dtype, name="proj_in")(tokens)
+        tokens = TemporalTransformerBlock(
+            self.heads, c // self.heads, self.max_len, self.dtype, name="block"
+        )(tokens)
+        tokens = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
+        )(tokens)
+        out = tokens.reshape(b, h * w, video_length, c).transpose(0, 2, 1, 3)
+        return residual + out.reshape(n, h, w, c)

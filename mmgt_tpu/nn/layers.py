@@ -1,0 +1,159 @@
+"""Core flax.linen layers shared by every model in the framework.
+
+Conventions (TPU-first):
+  * channel-last everywhere: images (N, H, W, C), tokens (N, L, C)
+  * params live in float32 (`param_dtype`); compute dtype is configurable
+    (bf16 by default at inference/training) — norm statistics and attention
+    softmax always run in float32 via `mmgt_tpu.ops`
+  * 1x1 convs are expressed as Dense over the trailing channel axis (XLA
+    lowers both to the same MXU matmul; Dense keeps layouts trivial)
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmgt_tpu.ops.attention import dot_product_attention
+from mmgt_tpu.ops.norms import group_norm, layer_norm
+
+
+def timestep_embedding(
+    t: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding.
+
+    `flip_sin_to_cos=True, downscale_freq_shift=0` matches the SD1.5 UNet
+    time_proj; `flip_sin_to_cos=False, downscale_freq_shift=1` would match
+    the classic DDPM embedding. Stage-1 SMGA uses the variant in
+    `mmgt_tpu.models.smga`.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> silu -> linear time-embedding MLP (SD UNet style)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over trailing channels with f32 statistics.
+
+    Applied per leading-batch element; for video tensors fold frames into
+    the batch first (the reference's "InflatedGroupNorm" semantics,
+    src/models/resnet.py:20-28).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, self.num_groups, scale, bias, self.eps, self.act)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not self.use_scale_bias:
+            return layer_norm(x, None, None, self.eps)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return layer_norm(x, scale, bias, self.eps)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (dim -> mult*dim -> dim), diffusers-compatible."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_geglu")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with separate context (cross) input.
+
+    to_q/to_k/to_v have no bias, to_out has bias (diffusers Attention
+    layout) so reference checkpoints map 1:1. Runs the Pallas flash kernel
+    on TPU via `mmgt_tpu.ops.dot_product_attention`.
+    """
+
+    heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    zero_init_out: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        o = dot_product_attention(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        kernel_init = (
+            nn.initializers.zeros
+            if self.zero_init_out
+            else nn.initializers.lecun_normal()
+        )
+        return nn.Dense(
+            out_dim, dtype=self.dtype, name="to_out", kernel_init=kernel_init
+        )(o)
