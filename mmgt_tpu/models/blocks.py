@@ -106,10 +106,13 @@ class TemporalBasicTransformerBlock(nn.Module):
     """Denoiser-side block: reference-augmented self-attn + CLIP cross-attn.
 
     x: (B*F, L, C). `bank`: (B, L_ref, C) reference features, repeated per
-    frame inside. With `n_uncond > 0` the first n_uncond*F rows (the CFG
-    unconditional half) self-attend WITHOUT the bank while the rest attend
-    to [self, bank] — matching the reference's uc_mask semantics
-    (mutual_self_attention.py:160-186).
+    frame inside. `bank_gate` (B,) in {0, 1}: rows with gate 0 (the CFG
+    unconditional half, or training-time reference dropout) self-attend
+    WITHOUT the bank while gated rows attend to [self, bank] — matching the
+    reference's uc_mask semantics (mutual_self_attention.py:160-186).
+    Implemented as one variable-KV-length flash-attention call: bank tokens
+    sit at the end of KV and masked rows stop at L (the kernel skips the
+    fully-masked blocks, so ungated rows pay no extra FLOPs).
     """
 
     heads: int
@@ -123,7 +126,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         context: jnp.ndarray,
         bank: Optional[jnp.ndarray] = None,
         video_length: int = 1,
-        n_uncond: int = 0,
+        bank_gate: Optional[jnp.ndarray] = None,
     ):
         normed = LayerNorm(name="norm1")(x)
         attn1 = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")
@@ -132,16 +135,15 @@ class TemporalBasicTransformerBlock(nn.Module):
             x = x + attn1(normed)
         else:
             f = video_length
+            l = normed.shape[1]
             bank_f = jnp.repeat(bank, f, axis=0)  # (B*F, L_ref, C)
-            if n_uncond > 0:
-                nu = n_uncond * f
-                x_u = x[:nu] + attn1(normed[:nu])
-                kv = jnp.concatenate([normed[nu:], bank_f[nu:]], axis=1)
-                x_c = x[nu:] + attn1(normed[nu:], kv)
-                x = jnp.concatenate([x_u, x_c], axis=0)
+            kv = jnp.concatenate([normed, bank_f], axis=1)
+            if bank_gate is not None:
+                gate_f = jnp.repeat(bank_gate.astype(jnp.int32), f, axis=0)
+                kv_lens = l + gate_f * bank_f.shape[1]
             else:
-                kv = jnp.concatenate([normed, bank_f], axis=1)
-                x = x + attn1(normed, kv)
+                kv_lens = None
+            x = x + attn1(normed, kv, kv_lens=kv_lens)
 
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
             LayerNorm(name="norm2")(x), context
@@ -253,7 +255,7 @@ class SpatialTransformerRef(nn.Module):
         context: jnp.ndarray,
         bank: Optional[jnp.ndarray],
         video_length: int,
-        n_uncond: int = 0,
+        bank_gate: Optional[jnp.ndarray] = None,
     ):
         residual = x
         h = GroupNorm(32, 1e-6, name="norm")(x)
@@ -261,7 +263,7 @@ class SpatialTransformerRef(nn.Module):
         tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_in")(tokens)
         tokens = TemporalBasicTransformerBlock(
             self.heads, self.head_dim, self.dtype, name="block"
-        )(tokens, context, bank, video_length, n_uncond)
+        )(tokens, context, bank, video_length, bank_gate)
         tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(tokens)
         return _unflatten_hw(tokens, hw) + residual
 

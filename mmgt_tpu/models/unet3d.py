@@ -73,8 +73,12 @@ class DenoisingUNet3D(nn.Module):
         banks: Optional[List[jnp.ndarray]] = None,
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
         n_uncond: int = 0,
+        bank_gate: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, f, hh, ww, cin = latents.shape
+        if banks is not None and bank_gate is None:
+            # first n_uncond batch rows (CFG uncond half) ignore the bank
+            bank_gate = (jnp.arange(b) >= n_uncond).astype(jnp.int32)
         chans = list(self.block_out_channels)
         n_blocks = len(chans)
 
@@ -124,7 +128,7 @@ class DenoisingUNet3D(nn.Module):
                         out_ch // self.heads,
                         self.dtype,
                         name=f"down_{bi}_attn_{li}",
-                    )(x, context, next_bank(), f, n_uncond)
+                    )(x, context, next_bank(), f, bank_gate)
                     if self.use_audio_module and audio_ctx is not None:
                         x = SpatialTransformerAudio(
                             self.heads,
@@ -148,7 +152,7 @@ class DenoisingUNet3D(nn.Module):
         x = ResnetBlock(chans[-1], dtype=self.dtype, name="mid_res_0")(x, temb_f)
         x = SpatialTransformerRef(
             self.heads, chans[-1] // self.heads, self.dtype, name="mid_attn"
-        )(x, context, next_bank(), f, n_uncond)
+        )(x, context, next_bank(), f, bank_gate)
         if self.use_motion_module:
             x = MotionModule(
                 self.heads, self.motion_max_len, self.dtype, name="mid_motion"
@@ -172,7 +176,7 @@ class DenoisingUNet3D(nn.Module):
                         out_ch // self.heads,
                         self.dtype,
                         name=f"up_{bi}_attn_{li}",
-                    )(x, context, next_bank(), f, n_uncond)
+                    )(x, context, next_bank(), f, bank_gate)
                 if self.use_motion_module:
                     x = MotionModule(
                         self.heads,

@@ -79,9 +79,12 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
+        groups = (
+            self.num_groups if c % self.num_groups == 0 else math.gcd(c, self.num_groups)
+        )
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, self.num_groups, scale, bias, self.eps, self.act)
+        return group_norm(x, groups, scale, bias, self.eps, self.act)
 
 
 class LayerNorm(nn.Module):
@@ -134,6 +137,7 @@ class Attention(nn.Module):
         self,
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
+        kv_lens: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
@@ -147,7 +151,7 @@ class Attention(nn.Module):
         q = q.reshape(b, lq, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        o = dot_product_attention(q, k, v)
+        o = dot_product_attention(q, k, v, kv_lens=kv_lens)
         o = o.transpose(0, 2, 1, 3).reshape(b, lq, inner)
         kernel_init = (
             nn.initializers.zeros

@@ -9,10 +9,16 @@ reference-augmented self, CLIP/audio cross, temporal) goes through
 Layout convention: (batch, num_heads, seq, head_dim) — "BHSD".
 Softmax and accumulation are always float32 regardless of input dtype.
 
-The Pallas kernel is a standard 2-pass-free streaming softmax ("flash")
-over KV chunks with a grid over (batch*heads, q_chunks). Head dims are
-zero-padded to a multiple of 128 lanes outside the kernel; KV sequence is
-padded to the KV block size and masked inside the kernel with -inf scores.
+`kv_lens` (per-batch-row valid KV length) supports variable-length KV in a
+single batched call — used for classifier-free-guidance where the uncond
+half must NOT attend to the reference-bank tokens appended at the end of
+KV (reference mutual_self_attention.py:168-188), and for training-time
+reference dropout. Fully-masked KV blocks are skipped inside the kernel,
+so uncond rows pay no extra FLOPs for the bank.
+
+The Pallas kernel is a streaming-softmax ("flash") pass over KV chunks
+with a grid over (batch*heads, q_chunks). Head dims are zero-padded to a
+multiple of 128 lanes outside the kernel.
 """
 from __future__ import annotations
 
@@ -28,11 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, kv_lens=None):
     """Reference implementation (used on CPU and for testing)."""
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if kv_lens is not None:
+        col = jnp.arange(k.shape[2])
+        mask = col[None, None, None, :] < kv_lens[:, None, None, None]
+        logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
@@ -41,16 +51,18 @@ def _xla_attention(q, k, v, scale):
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
                   scale: float):
     """One (q_block, full KV) flash-attention pass.
 
-    q_ref: (1, BQ, D), k_ref/v_ref: (1, KV_pad, D), o_ref: (1, BQ, D).
+    kvlen_ref: (B*H, 1) int32 in SMEM (whole array, indexed by program id);
+    q_ref: (1, BQ, D); k/v_ref: (1, KV, D).
     """
     q = q_ref[0].astype(jnp.float32) * scale
     bq, d = q.shape
     kv_pad = k_ref.shape[1]
-    num_kv_blocks = kv_pad // block_k
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    num_kv_blocks = pl.cdiv(kv_len, block_k)  # skip fully-masked blocks
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
@@ -85,7 +97,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
-def _flash_attention(q, k, v, scale: float, block_q: int = 512,
+def _flash_attention(q, k, v, kv_lens, scale: float, block_q: int = 512,
                      block_k: int = 512, interpret: bool = False):
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -104,14 +116,19 @@ def _flash_attention(q, k, v, scale: float, block_q: int = 512,
     kp = kp.reshape(b * h, skv_pad, d_pad)
     vp = vp.reshape(b * h, skv_pad, d_pad)
 
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), skv, jnp.int32)
+    lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), h)[:, None]  # (B*H, 1)
+
     grid = (b * h, sq_pad // block_q)
-    kernel = functools.partial(
-        _flash_kernel, kv_len=skv, block_k=block_k, scale=scale
-    )
+    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(
+                (lens_bh.shape[0], 1), lambda bh, i: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec((1, block_q, d_pad), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, skv_pad, d_pad), lambda bh, i: (bh, 0, 0),
@@ -128,7 +145,7 @@ def _flash_attention(q, k, v, scale: float, block_q: int = 512,
             transcendentals=b * h * sq * skv,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(lens_bh, qp, kp, vp)
 
     out = out.reshape(b, h, sq_pad, d_pad)
     return out[:, :, :sq, :d]
@@ -139,20 +156,29 @@ def dot_product_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Full (non-causal) attention over BHSD tensors.
 
+    kv_lens: optional (B,) int32 — per-row valid KV prefix length.
     impl: None (auto: pallas on TPU, xla elsewhere) | "pallas" | "xla".
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # The flash kernel wins on long sequences (spatial/cross attention,
+        # Skv >= 512). For short-seq huge-batch attention (temporal motion
+        # attention: Skv = frames <= 32, batch = B*H*W) XLA's batched-matmul
+        # softmax is both faster and avoids per-row SMEM length tables.
+        long_seq = q.shape[2] >= 512 and k.shape[2] >= 512
+        impl = (
+            "pallas" if (jax.default_backend() == "tpu" and long_seq) else "xla"
+        )
     if impl == "xla":
-        return _xla_attention(q, k, v, scale)
+        return _xla_attention(q, k, v, scale, kv_lens)
     if impl == "pallas":
-        return _flash_attention(q, k, v, scale)
+        return _flash_attention(q, k, v, kv_lens, scale)
     if impl == "pallas_interpret":
-        return _flash_attention(q, k, v, scale, interpret=True)
+        return _flash_attention(q, k, v, kv_lens, scale, interpret=True)
     raise ValueError(f"unknown attention impl {impl!r}")

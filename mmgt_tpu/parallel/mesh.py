@@ -1,0 +1,91 @@
+"""Device mesh + sharding rules — the framework's entire distributed layer.
+
+Replaces the reference's Accelerate/DDP/NCCL stack (train_stage_2.py:400-407,
+SMGA.py:53-58) with `jax.sharding`: one Mesh, NamedShardings, and XLA
+collectives compiled onto ICI. Axes:
+
+  * "dp" — data parallel: batch dimension of training; gradient psum rides
+    ICI automatically via jit + sharded batch.
+  * "tp" — tensor parallel: attention-head / FFN-column sharding of the big
+    UNet weights (regex rules below); XLA inserts the all-gathers/
+    reduce-scatters.
+
+At inference the context-window batch axis shards over "dp" too (windows
+x CFG are independent), which is the TPU-native replacement for the
+reference's sequential window loop (SURVEY §5.7).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ("dp", "tp") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    spec = [None] * ndim
+    spec[axis] = "dp"
+    return NamedSharding(mesh, P(*spec))
+
+
+# Tensor-parallel rules: (path regex, partition spec builder by ndim).
+# Attention q/k/v and FFN-in kernels shard their OUTPUT dim over "tp";
+# attention-out and FFN-out kernels shard their INPUT dim (row parallel),
+# so each attention/FFN block is a classic Megatron column->row pair and
+# XLA only needs one reduce per block.
+_TP_COL = re.compile(r"(to_q|to_k|to_v|proj_geglu|proj1|proj2)$")
+_TP_ROW = re.compile(r"(to_out|proj_out|proj3)$")
+
+
+def _spec_for(path: Tuple[str, ...], shape: Tuple[int, ...], tp_enabled: bool):
+    if not tp_enabled or len(shape) < 2:
+        return P()
+    *parents, leaf = path
+    parent = parents[-1] if parents else ""
+    if leaf == "kernel":
+        if _TP_COL.search(parent):
+            return P(*([None] * (len(shape) - 1) + ["tp"]))
+        if _TP_ROW.search(parent):
+            return P(*(["tp"] + [None] * (len(shape) - 1)))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for a param tree: TP rules + replication."""
+    tp_enabled = mesh.shape.get("tp", 1) > 1
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def to_sharding(path, leaf):
+        keys = tuple(
+            k.key if hasattr(k, "key") else str(k) for k in path
+        )
+        return NamedSharding(mesh, _spec_for(keys, leaf.shape, tp_enabled))
+
+    shardings = [to_sharding(p, l) for p, l in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -84,3 +84,21 @@ def test_layer_norm_matches_torch():
         jnp.asarray(ln.bias.detach().numpy()),
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_attention_kv_lens():
+    """Rows with kv_lens=L must ignore KV tokens beyond L."""
+    q = _rand((2, 2, 16, 32), 10)
+    k = _rand((2, 2, 48, 32), 11)
+    v = _rand((2, 2, 48, 32), 12)
+    lens = jnp.asarray([16, 48], jnp.int32)
+    out = dot_product_attention(q, k, v, kv_lens=lens, impl="xla")
+    # row 0 == attention restricted to first 16 kv tokens
+    ref0 = dot_product_attention(q[:1], k[:1, :, :16], v[:1, :, :16], impl="xla")
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0[0]), atol=1e-5)
+    # row 1 == full attention
+    ref1 = dot_product_attention(q[1:], k[1:], v[1:], impl="xla")
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref1[0]), atol=1e-5)
+    # pallas kernel agrees
+    outp = dot_product_attention(q, k, v, kv_lens=lens, impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(out), atol=2e-5, rtol=1e-4)

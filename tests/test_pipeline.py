@@ -1,0 +1,95 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgt_tpu.models.audio_proj import AudioProjModel
+from mmgt_tpu.models.pose_guider import PoseGuider
+from mmgt_tpu.models.unet3d import DenoisingUNet3D
+from mmgt_tpu.models.unet_ref import ReferenceUNet2D
+from mmgt_tpu.models.vae import AutoencoderKL
+from mmgt_tpu.pipelines.context import (
+    compute_context_schedule,
+    window_indices_for_step,
+)
+from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+
+# ---------------------------------------------------------------- context
+def test_context_windows_single_window():
+    sched = compute_context_schedule(5, 8, context_size=12)
+    assert sched.shape == (5, 1, 8)
+    np.testing.assert_array_equal(sched[0, 0], np.arange(8))
+
+
+def test_context_windows_long():
+    """80 frames, 12-window, overlap 4 -> 10 windows every step, all frames
+    covered, wrap-around allowed, per-step rotating offset."""
+    sched = compute_context_schedule(30, 80, 12, 1, 4)
+    assert sched.shape == (30, 10, 12)
+    for s in range(30):
+        covered = set(sched[s].reshape(-1).tolist())
+        assert covered == set(range(80))
+    # step 0 starts at 0; later steps rotate
+    np.testing.assert_array_equal(sched[0, 0], np.arange(12))
+    assert not np.array_equal(sched[1, 0], sched[0, 0])
+    # windows are consecutive mod 80
+    w = sched[7, 3]
+    assert ((np.diff(w) % 80) == 1).all()
+
+
+def test_context_matches_reference_fixture():
+    """Golden fixture: step 1 should use the bit-reversed offset 0.5 ->
+    pad = 40 for 80 frames (ordered_halving(1) = 0.5)."""
+    wins = window_indices_for_step(1, 80, 12, 1, 4)
+    assert wins[0][0] == 40
+    assert len(wins) == 10
+
+
+# ---------------------------------------------------------------- pipeline
+def _tiny_pipeline():
+    tiny = dict(block_out_channels=(16, 32, 32, 32), heads=4)
+    return Pose2VideoPipeline(
+        vae=AutoencoderKL(block_out_channels=(16, 16, 32, 32)),
+        reference_unet=ReferenceUNet2D(**tiny),
+        denoising_unet=DenoisingUNet3D(**tiny),
+        pose_guider=PoseGuider(embedding_channels=16, block_out_channels=(4, 8, 8, 16)),
+        audio_proj=AudioProjModel(intermediate_dim=32),
+        context_size=4,
+        context_overlap=2,
+        decode_chunk_cap=4,
+        window_microbatch=2,  # 3 windows -> microbatch 1, 3 groups
+    )
+
+
+@pytest.mark.slow
+def test_pose2vid_end_to_end_tiny():
+    pipe = _tiny_pipeline()
+    rng = jax.random.PRNGKey(0)
+    H = W = 64
+    F = 6  # > context_size(4) -> multi-window path with overlap fusion
+    params = pipe.init_params(rng, H, W)
+    ref_img = jnp.zeros((1, H, W, 3))
+    pose = jnp.zeros((1, F, H, W, 3))
+    clip = jnp.zeros((1, 1, 768))
+    h8 = H // 8
+    masks = [
+        tuple(jnp.ones((1, F, (h8 >> l) * (h8 >> l))) for _ in range(3))
+        for l in range(3)
+    ]
+    audio = jnp.zeros((1, F, 5, 12, 768))
+    out = pipe(
+        params,
+        rng,
+        ref_img,
+        pose,
+        clip,
+        masks,
+        audio,
+        num_inference_steps=3,
+        guidance_scale=3.5,
+    )
+    assert out.shape == (1, F, H, W, 3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    assert o.min() >= 0.0 and o.max() <= 1.0
