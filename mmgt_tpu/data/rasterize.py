@@ -1,0 +1,187 @@
+"""Keypoint -> pose-skeleton / motion-mask rasterizer, pure jnp.
+
+TPU-native replacement of the reference's cv2 drawing pipeline
+(src/dwpose/__init__.py:133-294 + src/dwpose/util.py draw_bodypose:79,
+draw_handpose:160, draw_facepose:291, *_with_bbox:208,349): instead of
+host-side cv2 polygon fills, every primitive is an analytic coverage test
+evaluated on the pixel grid, so whole clips rasterize on-device in one
+vmapped call.
+
+Keypoint layout (402 = 134 x (x, y, score), normalized to [0,1]):
+  body 0:18, feet 18:24, face 24:92 (lips 72:92, eyes 60:72),
+  hands 92:113 + 113:134 (data/extract_movment_mask_all.py:28-44).
+
+Outputs match the reference's four conditioning videos:
+  pose map (body ellipses + hand skeletons + face dots),
+  hands mask (per-hand bbox), lips mask (bbox), face mask (bbox + hands).
+"""
+from __future__ import annotations
+
+import colorsys
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VIS_THRESH = 0.3
+
+# openpose 18-kpt limb sequence (1-indexed pairs; first 17 drawn)
+LIMB_SEQ = np.array(
+    [
+        [2, 3], [2, 6], [3, 4], [4, 5], [6, 7], [7, 8], [2, 9], [9, 10],
+        [10, 11], [2, 12], [12, 13], [13, 14], [2, 1], [1, 15], [15, 17],
+        [1, 16], [16, 18],
+    ]
+) - 1
+
+BODY_COLORS = np.array(
+    [
+        [255, 0, 0], [255, 85, 0], [255, 170, 0], [255, 255, 0],
+        [170, 255, 0], [85, 255, 0], [0, 255, 0], [0, 255, 85],
+        [0, 255, 170], [0, 255, 255], [0, 170, 255], [0, 85, 255],
+        [0, 0, 255], [85, 0, 255], [170, 0, 255], [255, 0, 255],
+        [255, 0, 170], [255, 0, 85],
+    ],
+    np.float32,
+) / 255.0
+
+HAND_EDGES = np.array(
+    [
+        (0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
+        (0, 9), (9, 10), (10, 11), (11, 12), (0, 13), (13, 14), (14, 15),
+        (15, 16), (0, 17), (17, 18), (18, 19), (19, 20),
+    ]
+)
+
+# hsv-spread edge colors; the reference converts to BGR before drawing into
+# a canvas later read as RGB (util.py:179-183), i.e. channels reversed —
+# reproduced for pixel parity with reference-rendered pose videos.
+HAND_COLORS = np.array(
+    [colorsys.hsv_to_rgb(i / len(HAND_EDGES), 1.0, 1.0)[::-1] for i in range(len(HAND_EDGES))],
+    np.float32,
+)
+
+
+def _grid(h, w):
+    r = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = jnp.arange(w, dtype=jnp.float32)[None, :]
+    return r, c
+
+
+def _paint(canvas, mask, color):
+    return jnp.where(mask[..., None], color, canvas)
+
+
+def _ellipse_mask(r, c, p0, p1, half_width, valid):
+    """Coverage of the cv2.ellipse2Poly limb capsule: ellipse centered at
+    the midpoint, semi-major = half limb length, semi-minor = half_width."""
+    m = (p0 + p1) / 2.0
+    d = p1 - p0
+    length = jnp.sqrt(jnp.sum(d**2) + 1e-8)
+    e = d / length
+    a = jnp.maximum(length / 2.0, 0.5)
+    u = (c - m[0]) * e[0] + (r - m[1]) * e[1]
+    v = -(c - m[0]) * e[1] + (r - m[1]) * e[0]
+    inside = (u / a) ** 2 + (v / half_width) ** 2 <= 1.0
+    return inside & valid
+
+
+def _segment_mask(r, c, p0, p1, radius, valid):
+    d = p1 - p0
+    len2 = jnp.sum(d**2) + 1e-8
+    t = jnp.clip(((c - p0[0]) * d[0] + (r - p0[1]) * d[1]) / len2, 0.0, 1.0)
+    px = p0[0] + t * d[0]
+    py = p0[1] + t * d[1]
+    dist2 = (c - px) ** 2 + (r - py) ** 2
+    return (dist2 <= radius**2) & valid
+
+
+def _circle_mask(r, c, p, radius, valid):
+    return (((c - p[0]) ** 2 + (r - p[1]) ** 2) <= radius**2) & valid
+
+
+def _bbox_mask(r, c, pts, valid):
+    """Axis-aligned bbox over valid points (util.py:208-233,349-380)."""
+    big = 1e9
+    xs = jnp.where(valid, pts[:, 0], big)
+    ys = jnp.where(valid, pts[:, 1], big)
+    min_x, min_y = jnp.min(xs), jnp.min(ys)
+    xs = jnp.where(valid, pts[:, 0], -big)
+    ys = jnp.where(valid, pts[:, 1], -big)
+    max_x, max_y = jnp.max(xs), jnp.max(ys)
+    ok = (min_x < max_x) & (min_y < max_y)
+    inside = (c >= min_x) & (c < max_x) & (r >= min_y) & (r < max_y)
+    return inside & ok
+
+
+def rasterize_frame(
+    kpts: jnp.ndarray, h: int = 512, w: int = 512
+) -> Dict[str, jnp.ndarray]:
+    """kpts: (134, 3) normalized (x, y, score) -> dict of
+    pose (H, W, 3) in [0,1], hands/lips/face masks (H, W) in {0,1}."""
+    r, c = _grid(h, w)
+    xy = kpts[:, :2] * jnp.asarray([w, h], jnp.float32)
+    vis = kpts[:, 2] >= VIS_THRESH
+
+    # ---- pose skeleton map
+    canvas = jnp.zeros((h, w, 3), jnp.float32)
+    limbs = jnp.asarray(LIMB_SEQ)
+    for i in range(17):
+        a, b = LIMB_SEQ[i]
+        valid = vis[a] & vis[b]
+        m = _ellipse_mask(r, c, xy[a], xy[b], 4.0, valid)
+        canvas = _paint(canvas, m, jnp.asarray(BODY_COLORS[i]))
+    canvas = canvas * 0.9
+    for i in range(18):
+        m = _circle_mask(r, c, xy[i], 4.0, vis[i])
+        canvas = _paint(canvas, m, jnp.asarray(BODY_COLORS[i]))
+
+    for hand0 in (92, 113):
+        pts = xy[hand0 : hand0 + 21]
+        hvis = vis[hand0 : hand0 + 21]
+        for ei in range(len(HAND_EDGES)):
+            a, b = HAND_EDGES[ei]
+            m = _segment_mask(r, c, pts[a], pts[b], 1.0, hvis[a] & hvis[b])
+            canvas = _paint(canvas, m, jnp.asarray(HAND_COLORS[ei]))
+        for j in range(21):
+            m = _circle_mask(r, c, pts[j], 4.0, hvis[j])
+            canvas = _paint(canvas, m, jnp.asarray([0.0, 0.0, 1.0]))
+
+    face_pts = xy[24:92]
+    face_vis = vis[24:92]
+    for j in range(68):
+        m = _circle_mask(r, c, face_pts[j], 3.0, face_vis[j])
+        canvas = _paint(canvas, m, jnp.asarray([1.0, 1.0, 1.0]))
+
+    # ---- motion masks (bbox fills)
+    hands_mask = (
+        _bbox_mask(r, c, xy[92:113], vis[92:113])
+        | _bbox_mask(r, c, xy[113:134], vis[113:134])
+    ).astype(jnp.float32)
+    lips_mask = _bbox_mask(r, c, xy[72:92], vis[72:92]).astype(jnp.float32)
+    face_mask = jnp.clip(
+        _bbox_mask(r, c, xy[24:92], vis[24:92]).astype(jnp.float32) + hands_mask,
+        0.0,
+        1.0,
+    )
+    return {
+        "pose": canvas,
+        "hands_mask": hands_mask,
+        "lips_mask": lips_mask,
+        "face_mask": face_mask,
+    }
+
+
+def rasterize_clip(
+    keypoints: jnp.ndarray, h: int = 512, w: int = 512, chunk: int = 8
+) -> Dict[str, jnp.ndarray]:
+    """(T, 134, 3) -> dict of stacked frames; chunked vmap bounds memory."""
+    t = keypoints.shape[0]
+    fn = jax.vmap(lambda k: rasterize_frame(k, h, w))
+    if t % chunk != 0 or t == chunk:
+        return fn(keypoints)
+    parts = keypoints.reshape(t // chunk, chunk, *keypoints.shape[1:])
+    out = jax.lax.map(fn, parts)
+    return jax.tree.map(lambda x: x.reshape(t, *x.shape[2:]), out)
