@@ -1,0 +1,337 @@
+"""Torch/diffusers/HF checkpoint -> mmgt_tpu param-tree converter.
+
+One mechanism replaces the reference's scattered loading paths
+(UNet3DConditionModel.from_pretrained_2d merge at
+src/models/unet_3d.py:627-718, the .pth loads at scripts/audio2vid.py:
+244-272, HF from_pretrained for VAE/CLIP/wav2vec): every model exposes a
+name-translation function our_key -> torch_key; `convert` walks our
+param-tree structure (from jax.eval_shape, so no device memory needed),
+pulls tensors from one or more torch state dicts, applies layout
+transforms (OIHW->HWIO convs, transposed linears, packed-qkv splits), and
+reports missing/unused keys.
+
+The merged Stage-2 load (SD1.5 UNet + AnimateDiff motion ckpt + audio
+module ckpt) is just `convert(tree, [sd_unet, motion_sd, audio_sd], ...)`
+— later dicts take precedence, like the reference's state_dict.update.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.pt/.ckpt/.safetensors file into numpy arrays."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+# ------------------------------------------------------------------ layout
+def to_flax_tensor(our_key: str, shape, torch_arr: np.ndarray) -> np.ndarray:
+    """Torch layout -> flax layout for one tensor, validated against the
+    expected flax shape."""
+    a = torch_arr
+    leaf = our_key.rsplit("/", 1)[-1]
+    if leaf == "kernel":
+        if a.ndim == 4:                      # conv OIHW -> HWIO
+            a = a.transpose(2, 3, 1, 0)
+        elif a.ndim == 3:                    # conv1d OIW -> WIO
+            a = a.transpose(2, 1, 0)
+        elif a.ndim == 2:                    # linear (O,I) -> (I,O)
+            a = a.T
+        if a.shape != tuple(shape) and a.ndim == 4 and a.shape[:2] == (1, 1):
+            a = a.reshape(a.shape[2], a.shape[3])  # 1x1 conv -> dense
+    if a.shape != tuple(shape):
+        # dense <- 1x1 conv stored as (O,I,1,1)
+        if torch_arr.ndim == 4 and torch_arr.shape[2:] == (1, 1):
+            a = torch_arr[:, :, 0, 0].T
+    assert a.shape == tuple(shape), (our_key, a.shape, tuple(shape))
+    return np.asarray(a)
+
+
+# --------------------------------------------------------- name translation
+def _tx_block_suffix(s: str) -> str:
+    """Transformer-block-internal names (shared by 2D/3D/audio blocks)."""
+    s = s.replace("ff/proj_geglu", "ff.net.0.proj")
+    s = s.replace("ff/proj_out", "ff.net.2")
+    s = re.sub(r"(attn[\w]*)/to_out", r"\1.to_out.0", s)
+    s = re.sub(r"zero_conv_0$", "zero_conv_full", s)
+    s = re.sub(r"zero_conv_1$", "zero_conv_face", s)
+    s = re.sub(r"zero_conv_2$", "zero_conv_lip", s)
+    return s.replace("/", ".")
+
+
+def _leaf(s: str) -> Tuple[str, str]:
+    if "/" not in s:
+        return "", s
+    path, leaf = s.rsplit("/", 1)
+    torch_leaf = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+    return path, torch_leaf
+
+
+def map_unet2d(key: str) -> str:
+    """our ReferenceUNet2D key -> diffusers UNet2DConditionModel key."""
+    path, leaf = _leaf(key)
+    s = path
+    s = re.sub(r"^down_(\d+)_res_(\d+)", r"down_blocks.\1.resnets.\2", s)
+    s = re.sub(r"^down_(\d+)_attn_(\d+)/block", r"down_blocks.\1.attentions.\2.transformer_blocks.0", s)
+    s = re.sub(r"^down_(\d+)_attn_(\d+)", r"down_blocks.\1.attentions.\2", s)
+    s = re.sub(r"^down_(\d+)_downsample", r"down_blocks.\1.downsamplers.0", s)
+    s = re.sub(r"^up_(\d+)_res_(\d+)", r"up_blocks.\1.resnets.\2", s)
+    s = re.sub(r"^up_(\d+)_attn_(\d+)/block", r"up_blocks.\1.attentions.\2.transformer_blocks.0", s)
+    s = re.sub(r"^up_(\d+)_attn_(\d+)", r"up_blocks.\1.attentions.\2", s)
+    s = re.sub(r"^up_(\d+)_upsample", r"up_blocks.\1.upsamplers.0", s)
+    s = re.sub(r"^mid_res_(\d+)", r"mid_block.resnets.\1", s)
+    s = re.sub(r"^mid_attn/block", r"mid_block.attentions.0.transformer_blocks.0", s)
+    s = re.sub(r"^mid_attn", r"mid_block.attentions.0", s)
+    s = _tx_block_suffix(s)
+    return f"{s}.{leaf}"
+
+
+def map_unet3d(key: str) -> str:
+    """our DenoisingUNet3D key -> merged reference UNet3D state-dict key
+    (SD1.5 names + motion_modules + audio_modules, unet_3d_blocks.py)."""
+    path, leaf = _leaf(key)
+    s = path
+    # motion modules: layer-indexed per block; mid has a single one
+    s = re.sub(
+        r"^(down|up)_(\d+)_motion_(\d+)",
+        r"\1_blocks.\2.motion_modules.\3.temporal_transformer",
+        s,
+    )
+    s = re.sub(r"^mid_motion", r"mid_block.motion_modules.0.temporal_transformer", s)
+    s = re.sub(r"/block/attn_(\d+)", r".transformer_blocks.0.attention_blocks.\1", s)
+    s = re.sub(r"/block/norm_(\d+)", r".transformer_blocks.0.norms.\1", s)
+    s = re.sub(r"/block/ff_norm", r".transformer_blocks.0.ff_norm", s)
+    s = re.sub(
+        r"(temporal_transformer)/block/ff", r"\1.transformer_blocks.0.ff", s
+    )
+    # audio modules
+    s = re.sub(
+        r"^down_(\d+)_audio_(\d+)/block",
+        r"down_blocks.\1.audio_modules.\2.transformer_blocks.0",
+        s,
+    )
+    s = re.sub(r"^down_(\d+)_audio_(\d+)", r"down_blocks.\1.audio_modules.\2", s)
+    return _finish_unet3d(s, leaf, key)
+
+
+def _finish_unet3d(s: str, leaf: str, key: str) -> str:
+    s = re.sub(r"^down_(\d+)_res_(\d+)", r"down_blocks.\1.resnets.\2", s)
+    s = re.sub(r"^down_(\d+)_attn_(\d+)/block", r"down_blocks.\1.attentions.\2.transformer_blocks.0", s)
+    s = re.sub(r"^down_(\d+)_attn_(\d+)", r"down_blocks.\1.attentions.\2", s)
+    s = re.sub(r"^down_(\d+)_downsample", r"down_blocks.\1.downsamplers.0", s)
+    s = re.sub(r"^up_(\d+)_res_(\d+)", r"up_blocks.\1.resnets.\2", s)
+    s = re.sub(r"^up_(\d+)_attn_(\d+)/block", r"up_blocks.\1.attentions.\2.transformer_blocks.0", s)
+    s = re.sub(r"^up_(\d+)_attn_(\d+)", r"up_blocks.\1.attentions.\2", s)
+    s = re.sub(r"^up_(\d+)_upsample", r"up_blocks.\1.upsamplers.0", s)
+    s = re.sub(r"^mid_res_(\d+)", r"mid_block.resnets.\1", s)
+    s = re.sub(r"^mid_attn/block", r"mid_block.attentions.0.transformer_blocks.0", s)
+    s = re.sub(r"^mid_attn", r"mid_block.attentions.0", s)
+    s = _tx_block_suffix(s)
+    return f"{s}.{leaf}"
+
+
+def map_vae(key: str) -> str:
+    path, leaf = _leaf(key)
+    s = path
+    s = re.sub(r"^(encoder|decoder)/down_(\d+)_res_(\d+)", r"\1.down_blocks.\2.resnets.\3", s)
+    s = re.sub(r"^(encoder|decoder)/down_(\d+)_downsample", r"\1.down_blocks.\2.downsamplers.0", s)
+    s = re.sub(r"^(encoder|decoder)/up_(\d+)_res_(\d+)", r"\1.up_blocks.\2.resnets.\3", s)
+    s = re.sub(r"^(encoder|decoder)/up_(\d+)_upsample", r"\1.up_blocks.\2.upsamplers.0", s)
+    s = re.sub(r"^(encoder|decoder)/mid_res_(\d+)", r"\1.mid_block.resnets.\2", s)
+    s = re.sub(r"^(encoder|decoder)/mid_attn/attn", r"\1.mid_block.attentions.0", s)
+    s = re.sub(r"^(encoder|decoder)/mid_attn", r"\1.mid_block.attentions.0", s)
+    s = re.sub(r"^encoder/quant_conv", "quant_conv", s)
+    s = re.sub(r"^decoder/post_quant_conv", "post_quant_conv", s)
+    s = re.sub(r"/to_out$", ".to_out.0", s)
+    s = s.replace("/", ".")
+    return f"{s}.{leaf}"
+
+
+def map_pose_guider(key: str) -> str:
+    """our PoseGuider -> reference pose_guider .pth (pose_guider.py:12-57):
+    blocks list interleaves [conv, down] pairs as indices 0..5."""
+    path, leaf = _leaf(key)
+    m = re.match(r"^block_(\d+)_(conv|down)$", path)
+    if m:
+        i, kind = int(m.group(1)), m.group(2)
+        idx = 2 * i + (1 if kind == "down" else 0)
+        return f"blocks.{idx}.{leaf}"
+    return f"{path.replace('/', '.')}.{leaf}"
+
+
+def map_audio_proj(key: str) -> str:
+    path, leaf = _leaf(key)
+    return f"{path.replace('/', '.')}.{leaf}"
+
+
+def map_clip_vision(key: str) -> str:
+    """our CLIPVisionModel -> HF CLIPVisionModelWithProjection."""
+    pre = "vision_model."
+    if key == "class_embedding":
+        return pre + "embeddings.class_embedding"
+    if key == "position_embedding":
+        return pre + "embeddings.position_embedding.weight"
+    path, leaf = _leaf(key)
+    s = path
+    table = {
+        "patch_embed": pre + "embeddings.patch_embedding",
+        "pre_norm": pre + "pre_layrnorm",
+        "post_norm": pre + "post_layernorm",
+        "visual_projection": "visual_projection",
+    }
+    if s in table:
+        return f"{table[s]}.{leaf}"
+    m = re.match(r"^layer_(\d+)/(.*)$", s)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        rest = {
+            "ln1": "layer_norm1",
+            "ln2": "layer_norm2",
+            "q_proj": "self_attn.q_proj",
+            "k_proj": "self_attn.k_proj",
+            "v_proj": "self_attn.v_proj",
+            "out_proj": "self_attn.out_proj",
+            "fc1": "mlp.fc1",
+            "fc2": "mlp.fc2",
+        }[rest]
+        return f"{pre}encoder.layers.{i}.{rest}.{leaf}"
+    raise KeyError(key)
+
+
+def map_wav2vec2(key: str) -> str:
+    """our Wav2Vec2Model -> HF Wav2Vec2Model state dict."""
+    path, leaf = _leaf(key)
+    s = path
+    m = re.match(r"^feature_extractor/conv_(\d+)$", s)
+    if m:
+        return f"feature_extractor.conv_layers.{m.group(1)}.conv.{leaf}"
+    if key.startswith("feature_extractor/gn_0"):
+        l = "weight" if key.endswith("scale") else "bias"
+        return f"feature_extractor.conv_layers.0.layer_norm.{l}"
+    table = {
+        "fp_norm": "feature_projection.layer_norm",
+        "fp_proj": "feature_projection.projection",
+        "encoder_norm": "encoder.layer_norm",
+        "pos_conv/conv": "encoder.pos_conv_embed.conv",
+    }
+    if s in table:
+        return f"{table[s]}.{leaf}"
+    m = re.match(r"^layer_(\d+)/(.*)$", s)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        rest = {
+            "q_proj": "attention.q_proj",
+            "k_proj": "attention.k_proj",
+            "v_proj": "attention.v_proj",
+            "out_proj": "attention.out_proj",
+            "attn_norm": "layer_norm",
+            "ff_in": "feed_forward.intermediate_dense",
+            "ff_out": "feed_forward.output_dense",
+            "ff_norm": "final_layer_norm",
+        }[rest]
+        return f"encoder.layers.{i}.{rest}.{leaf}"
+    raise KeyError(key)
+
+
+def map_wavlm(key: str) -> str:
+    """our WavLMModel -> microsoft WavLM checkpoint ['model'] keys."""
+    m = re.match(r"^layer_(\d+)/attn/grep_a$", key)
+    if m:
+        return f"encoder.layers.{m.group(1)}.self_attn.grep_a"
+    path, leaf = _leaf(key)
+    s = path
+    m = re.match(r"^feature_extractor/conv_(\d+)$", s)
+    if m:
+        return f"feature_extractor.conv_layers.{m.group(1)}.0.{leaf}"
+    m = re.match(r"^feature_extractor/ln_(\d+)$", s)
+    if m:
+        return f"feature_extractor.conv_layers.{m.group(1)}.2.1.{leaf}"
+    table = {
+        "post_extract_norm": "layer_norm",
+        "post_extract_proj": "post_extract_proj",
+        "pos_conv/conv": "encoder.pos_conv.0",
+        "final_norm": "encoder.layer_norm",
+    }
+    if s in table:
+        return f"{table[s]}.{leaf}"
+    if key == "layer_0/attn/rel_attn_embed":
+        return "encoder.layers.0.self_attn.relative_attention_bias.weight"
+    m = re.match(r"^layer_(\d+)/(.*)$", s)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        rest = {
+            "attn/q_proj": "self_attn.q_proj",
+            "attn/k_proj": "self_attn.k_proj",
+            "attn/v_proj": "self_attn.v_proj",
+            "attn/out_proj": "self_attn.out_proj",
+            "attn/grep_linear": "self_attn.grep_linear",
+            "attn/grep_a": "self_attn.grep_a",
+            "attn_norm": "self_attn_layer_norm",
+            "ff_in": "fc1",
+            "ff_out": "fc2",
+            "ff_norm": "final_layer_norm",
+        }[rest]
+        out_leaf = "" if rest.endswith("grep_a") else f".{leaf}"
+        return f"encoder.layers.{i}.{rest}{out_leaf}"
+    raise KeyError(key)
+
+
+MAPPERS: Dict[str, Callable[[str], str]] = {
+    "unet2d": map_unet2d,
+    "unet3d": lambda k: map_unet3d(k),
+    "vae": map_vae,
+    "pose_guider": map_pose_guider,
+    "audio_proj": map_audio_proj,
+    "clip_vision": map_clip_vision,
+    "wav2vec2": map_wav2vec2,
+    "wavlm": map_wavlm,
+}
+
+
+# ----------------------------------------------------------------- convert
+def convert(
+    target_tree: Any,
+    state_dicts: Sequence[Dict[str, np.ndarray]],
+    mapper: Callable[[str], str],
+    strict: bool = True,
+) -> Tuple[Any, Dict[str, List[str]]]:
+    """Fill a param tree (shapes from eval_shape or a real tree) from torch
+    state dicts (later dicts win). Returns (tree, report)."""
+    merged: Dict[str, np.ndarray] = {}
+    for sd in state_dicts:
+        merged.update(sd)
+    flat = traverse_util.flatten_dict(target_tree, sep="/")
+    out = {}
+    missing, used = [], set()
+    for our_key, leaf in flat.items():
+        tk = mapper(our_key.replace("params/", "", 1) if our_key.startswith("params/") else our_key)
+        if tk not in merged:
+            missing.append(f"{our_key} <- {tk}")
+            out[our_key] = (
+                np.zeros(leaf.shape, leaf.dtype)
+                if hasattr(leaf, "shape")
+                else leaf
+            )
+            continue
+        used.add(tk)
+        out[our_key] = to_flax_tensor(our_key, leaf.shape, merged[tk])
+    unexpected = [k for k in merged if k not in used]
+    report = {"missing": missing, "unexpected": unexpected}
+    if strict and missing:
+        raise KeyError(f"missing {len(missing)} params, e.g. {missing[:5]}")
+    tree = traverse_util.unflatten_dict(out, sep="/")
+    return tree, report
