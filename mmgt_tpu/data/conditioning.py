@@ -46,12 +46,15 @@ def mask_leg(kp402: jnp.ndarray) -> jnp.ndarray:
     return (kp * mask[:, None]).reshape(kp402.shape)
 
 
-def _blur_norm_64(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """512^2 {0,1} mask -> blurred, min-max-normalized 64^2 (blur_mask,
-    scripts/audio2vid.py:133-153)."""
-    m64 = resize_bilinear(mask, (64, 64))
-    m64 = gaussian_blur(m64, ksize)
-    return normalize_minmax(m64)
+def _blur_norm(mask: jnp.ndarray, ksize: int, base: int = 64) -> jnp.ndarray:
+    """{0,1} mask -> blurred, min-max-normalized (base, base) attention mask
+    (blur_mask, scripts/audio2vid.py:133-153; base = image_size // 8,
+    64 for the reference's 512^2)."""
+    if base < ksize:
+        ksize = base if base % 2 == 1 else base - 1
+    m = resize_bilinear(mask, (base, base))
+    m = gaussian_blur(m, ksize)
+    return normalize_minmax(m)
 
 
 def prepare_conditioning_from_keypoints(
@@ -68,9 +71,10 @@ def prepare_conditioning_from_keypoints(
     kp_norm = kp.at[..., :2].set(kp[..., :2] / jnp.asarray([width, height]))
     ras = rasterize_clip(kp_norm, height, width)
 
-    face64 = _blur_norm_64(ras["face_mask"], 31)
-    lips64 = _blur_norm_64(ras["lips_mask"], 21)
-    hands64 = _blur_norm_64(ras["hands_mask"], 21)
+    base = height // 8
+    face64 = _blur_norm(ras["face_mask"], 31, base)
+    lips64 = _blur_norm(ras["lips_mask"], 21, base)
+    hands64 = _blur_norm(ras["hands_mask"], 21, base)
     full64 = jnp.clip(1.0 - face64 + lips64 + hands64, 0.0, 1.0)
 
     full_p = mask_pyramid(full64, levels)
@@ -95,12 +99,13 @@ def masks_from_videos(
     lips: jnp.ndarray,
     hands: Optional[jnp.ndarray] = None,
     levels: int = 3,
+    base: int = 64,
 ) -> list:
     """pose2vid path: user-provided mask videos -> pyramid conditioning."""
-    face64 = _blur_norm_64(face, 31)
-    lips64 = _blur_norm_64(lips, 21)
+    face64 = _blur_norm(face, 31, base)
+    lips64 = _blur_norm(lips, 21, base)
     hands64 = (
-        _blur_norm_64(hands, 21) if hands is not None else jnp.zeros_like(face64)
+        _blur_norm(hands, 21, base) if hands is not None else jnp.zeros_like(face64)
     )
     full64 = jnp.clip(1.0 - face64 + lips64 + hands64, 0.0, 1.0)
     full_p = mask_pyramid(full64, levels)

@@ -1,0 +1,202 @@
+"""Audio2Video orchestrator: audio + portrait -> talking/gesturing video.
+
+The framework's flagship entry point, re-designing
+scripts/audio2vid.py:185-530 (call stack in SURVEY §3.1):
+
+  1. slice audio into 3.2 s windows (>3.3 s inputs)
+  2. Stage 1: per slice, WavLM+baseline features -> SMGA DDIM sampling
+     (last-frame conditioning chains slices; optional candidate selection)
+  3. cubic-spline smoothing at slice seams
+  4. denormalize keypoints -> on-device rasterization (pose + mask videos)
+  5. Stage 2: wav2vec audio embeds + CLIP ref embed -> Pose2VideoPipeline
+  6. batched VAE decode -> frames
+
+Everything from step 4 on runs as jitted device programs; steps 1-3 are
+cheap host numpy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.interpolate import CubicSpline
+
+from mmgt_tpu.config import InferenceConfig
+from mmgt_tpu.data.audio import (
+    SAMPLE_RATE,
+    AudioProcessor,
+    WavLMFeatureExtractor,
+    slice_audio,
+    stage1_condition,
+)
+from mmgt_tpu.data.conditioning import (
+    denormalize_keypoints,
+    mask_leg,
+    normalize_keypoints,
+    prepare_conditioning_from_keypoints,
+)
+from mmgt_tpu.data.dsp import load_wav
+from mmgt_tpu.models.clip_vision import CLIPVisionModel, clip_preprocess
+from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+from mmgt_tpu.training.stage1 import SMGA
+
+HORIZON = 80  # frames per 3.2 s slice
+
+
+def find_best_slice(candidates: List[np.ndarray], prev: np.ndarray) -> np.ndarray:
+    """Pick the candidate whose start best continues the previous slice
+    (position L1 + mean velocity-angle score, audio2vid.py:79-108)."""
+    last_pos = prev[-5:]
+    last_v = np.mean((prev[1:] - prev[:-1])[-5:], axis=0).reshape(-1, 2)
+
+    def angle(a, b):
+        dots = np.sum(a * b, axis=1)
+        norms = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos = np.clip(dots / np.maximum(norms, 1e-8), -1, 1)
+        return float(np.mean(np.arccos(cos)))
+
+    best, best_score = candidates[0], np.inf
+    for cand in candidates:
+        cand_v = np.mean((cand[1:] - cand[:-1])[-5:], axis=0).reshape(-1, 2)
+        score = float(np.sum(np.abs(cand[:5] - last_pos))) + angle(
+            cand_v * 1000, last_v * 1000
+        )
+        if score < best_score:
+            best, best_score = cand, score
+    return best
+
+
+def smooth_seams(
+    seq: np.ndarray, seam_spacing: int = HORIZON, halfwin: int = 5
+) -> np.ndarray:
+    """Cubic-spline interpolation across slice seams
+    (audio2vid.py:361-374)."""
+    out = seq.copy()
+    t = len(seq)
+    for point in range(seam_spacing, t, seam_spacing):
+        lo, hi = max(0, point - halfwin), min(t, point + halfwin)
+        x = list(range(max(0, lo - 3), lo)) + list(range(hi, min(t, hi + 3)))
+        if len(x) < 4 or lo - 2 < 0 or hi + 2 > t:
+            continue
+        cs = CubicSpline(x, out[x], axis=0)
+        xx = np.arange(lo - 2, hi + 2)
+        out[lo - 2 : hi + 2] = cs(xx)
+    return out
+
+
+@dataclasses.dataclass(eq=False)
+class Audio2VideoPipeline:
+    smga: SMGA
+    smga_params: Any
+    pose2vid: Pose2VideoPipeline
+    pose2vid_params: Dict[str, Any]
+    clip_model: Optional[CLIPVisionModel] = None
+    clip_params: Any = None
+    audio_processor: Optional[AudioProcessor] = None
+    wavlm_extractor: Optional[WavLMFeatureExtractor] = None
+    config: InferenceConfig = dataclasses.field(default_factory=InferenceConfig)
+
+    def __post_init__(self):
+        self._smga_sample = jax.jit(
+            lambda p, r, cf, cond, s=self.config.a2p_sampling_steps: self.smga.sample(
+                p, r, cf, cond, s
+            )
+        )
+        if self.clip_model is not None:
+            self._clip = jax.jit(
+                lambda p, img: self.clip_model.apply(p, clip_preprocess(img))
+            )
+
+    # ---------------------------------------------------- stage 1 driver
+    def generate_pose(
+        self,
+        rng: jax.Array,
+        wav: np.ndarray,
+        init_keypoints: np.ndarray,  # (402,) absolute coords from the portrait
+    ) -> np.ndarray:
+        """Audio -> (T, 402) absolute-coordinate keypoint sequence."""
+        cfg = self.config
+        slices = (
+            slice_audio(wav) if len(wav) / SAMPLE_RATE > 3.3 else [wav]
+        )
+        init_norm = np.asarray(
+            mask_leg(normalize_keypoints(jnp.asarray(init_keypoints)))
+        )
+
+        results: List[np.ndarray] = []
+        last_frame = init_norm
+        for i, sl in enumerate(slices):
+            cond = stage1_condition(sl, self.wavlm_extractor, cfg.a2p_feature_type)
+            cond_j = jnp.asarray(cond)[None]
+            cf = jnp.asarray(last_frame, jnp.float32).reshape(1, -1)
+            n_cand = cfg.motion_candidates if (cfg.use_motion_selection and i > 0) else 1
+            cands = []
+            for c in range(n_cand):
+                rng, r = jax.random.split(rng)
+                out = np.asarray(self._smga_sample(self.smga_params, r, cf, cond_j))[0]
+                cands.append(out)
+            chosen = (
+                find_best_slice(cands, results[-1]) if len(cands) > 1 else cands[0]
+            )
+            results.append(chosen)
+            last_frame = chosen[-1]
+
+        seq = np.concatenate(results, axis=0)
+        # prepend the portrait pose, drop the final frame (audio2vid.py:356-360)
+        seq = np.concatenate([init_norm.reshape(1, -1), seq[:-1]], axis=0)
+        seq = smooth_seams(seq, seam_spacing=HORIZON)
+        return np.asarray(denormalize_keypoints(jnp.asarray(seq)))
+
+    # -------------------------------------------------------- full path
+    def __call__(
+        self,
+        rng: jax.Array,
+        wav_path: str,
+        ref_image: np.ndarray,        # (H, W, 3) float [0, 1]
+        init_keypoints: np.ndarray,   # (402,) portrait keypoints (abs coords)
+        video_length: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        wav = load_wav(wav_path, SAMPLE_RATE)
+        rng, pose_rng, gen_rng = jax.random.split(rng, 3)
+
+        keypoints = self.generate_pose(pose_rng, wav, init_keypoints)
+        L = min(len(keypoints), video_length or cfg.video_length)
+        keypoints = keypoints[:L]
+
+        cond = prepare_conditioning_from_keypoints(
+            jnp.asarray(keypoints), cfg.height, cfg.width
+        )
+
+        if self.audio_processor is not None:
+            audio_embeds, _ = self.audio_processor.preprocess(wav_path, clip_length=L)
+            audio_embeds = audio_embeds[:, :L]
+        else:
+            audio_embeds = jnp.zeros((1, L, 5, 12, 768))
+
+        ref = jnp.asarray(ref_image)[None]
+        if self.clip_model is not None:
+            clip_embed = self._clip(self.clip_params, ref)
+        else:
+            clip_embed = jnp.zeros((1, 1, 768))
+
+        frames = self.pose2vid(
+            self.pose2vid_params,
+            gen_rng,
+            ref * 2.0 - 1.0,
+            cond["pose_video"],
+            clip_embed,
+            cond["masks"],
+            audio_embeds,
+            num_inference_steps=cfg.num_inference_steps,
+            guidance_scale=cfg.guidance_scale,
+            motion_scale=cfg.motion_scale,
+        )
+        return {
+            "frames": np.asarray(frames[0]),
+            "keypoints": keypoints,
+            "pose_video": np.asarray(cond["pose_video"][0]),
+        }

@@ -1,0 +1,87 @@
+"""Checkpoint save/restore via orbax (async-capable).
+
+Replaces the reference's torch.save/accelerator.save_state scheme with its
+keep-recent pruning (train_stage_2.py:942-1029, src/utils/util.py:60-74;
+SMGA epoch ckpts at SMGA.py:305-313).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+class CheckpointManager:
+    """Thin wrapper: save(step, pytree) / restore(step=None -> latest)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 keep_period: Optional[int] = None):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        if _HAS_ORBAX:
+            opts = ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, keep_period=keep_period
+            )
+            self._mgr = ocp.CheckpointManager(self.directory.resolve(), options=opts)
+        else:
+            self._mgr = None
+            self.max_to_keep = max_to_keep
+
+    # -------------------------------------------------------------- orbax
+    def save(self, step: int, tree: Any) -> None:
+        if self._mgr is not None:
+            self._mgr.save(step, args=ocp.args.StandardSave(tree))
+            self._mgr.wait_until_finished()
+            return
+        self._save_np(step, tree)
+
+    def restore(self, target: Any, step: Optional[int] = None) -> Any:
+        if self._mgr is not None:
+            if step is None:
+                step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return self._restore_np(target, step)
+
+    def latest_step(self) -> Optional[int]:
+        if self._mgr is not None:
+            return self._mgr.latest_step()
+        steps = sorted(
+            int(p.stem.split("-")[1])
+            for p in self.directory.glob("ckpt-*.npz")
+        )
+        return steps[-1] if steps else None
+
+    # ---------------------------------------------------- numpy fallback
+    def _save_np(self, step: int, tree: Any) -> None:
+        flat, treedef = jax.tree_util.tree_flatten(tree)
+        np.savez(
+            self.directory / f"ckpt-{step}.npz",
+            *[np.asarray(x) for x in flat],
+        )
+        ckpts = sorted(
+            self.directory.glob("ckpt-*.npz"),
+            key=lambda p: int(p.stem.split("-")[1]),
+        )
+        while len(ckpts) > self.max_to_keep:
+            ckpts.pop(0).unlink()
+
+    def _restore_np(self, target: Any, step: Optional[int]) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        data = np.load(self.directory / f"ckpt-{step}.npz")
+        flat, treedef = jax.tree_util.tree_flatten(target)
+        arrays = [data[f"arr_{i}"] for i in range(len(flat))]
+        return jax.tree_util.tree_unflatten(treedef, arrays)

@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgt_tpu.config import InferenceConfig, Stage2TrainConfig, load_config
+from mmgt_tpu.models.audio_proj import AudioProjModel
+from mmgt_tpu.models.pose_guider import PoseGuider
+from mmgt_tpu.models.unet3d import DenoisingUNet3D
+from mmgt_tpu.models.unet_ref import ReferenceUNet2D
+from mmgt_tpu.models.vae import AutoencoderKL
+from mmgt_tpu.pipelines.audio2vid import (
+    Audio2VideoPipeline,
+    find_best_slice,
+    smooth_seams,
+)
+from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+from mmgt_tpu.training.stage1 import SMGA
+from mmgt_tpu.utils.checkpoint import CheckpointManager
+
+
+def test_find_best_slice_prefers_continuity():
+    prev = np.zeros((80, 402), np.float32)
+    prev[:, 0] = np.linspace(0, 1, 80)  # steady motion
+    good = np.zeros((80, 402), np.float32)
+    good[:5, 0] = prev[-5:, 0]  # starts where prev ended
+    bad = good + 5.0
+    assert find_best_slice([bad, good], prev) is good
+
+
+def test_smooth_seams_reduces_jump():
+    seq = np.zeros((160, 402), np.float32)
+    seq[80:] = 1.0  # hard seam at 80
+    sm = smooth_seams(seq, seam_spacing=80)
+    jumps = np.abs(np.diff(sm[:, 0]))
+    assert jumps.max() < 1.0  # the unit step is spread out
+    # far from the seam, unchanged
+    np.testing.assert_allclose(sm[:70], seq[:70])
+    np.testing.assert_allclose(sm[90:], seq[90:])
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    for step in (1, 2, 3):
+        mgr.save(step, jax.tree.map(lambda x: x * step, tree))
+    assert mgr.latest_step() == 3
+    restored = mgr.restore(tree)
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(4.0) * 3)
+
+
+def test_config_load_and_overrides(tmp_path):
+    cfg = load_config(InferenceConfig, None, num_inference_steps=7)
+    assert cfg.num_inference_steps == 7 and cfg.guidance_scale == 3.5
+    p = tmp_path / "c.json"
+    p.write_text('{"train_width": 256, "max_train_steps": 10}')
+    c2 = load_config(Stage2TrainConfig, str(p))
+    assert c2.train_width == 256 and c2.max_train_steps == 10
+
+
+@pytest.mark.slow
+def test_audio2vid_end_to_end_tiny(tmp_path):
+    from mmgt_tpu.data.dsp import save_wav
+
+    wav = (0.1 * np.sin(np.linspace(0, 800, 16000))).astype(np.float32)
+    wav_path = str(tmp_path / "a.wav")
+    save_wav(wav_path, wav, 16000)
+
+    tiny = dict(block_out_channels=(16, 32, 32, 32), heads=4)
+    pose2vid = Pose2VideoPipeline(
+        vae=AutoencoderKL(block_out_channels=(16, 16, 32, 32)),
+        reference_unet=ReferenceUNet2D(**tiny),
+        denoising_unet=DenoisingUNet3D(**tiny),
+        pose_guider=PoseGuider(embedding_channels=16, block_out_channels=(4, 8, 8, 16)),
+        audio_proj=AudioProjModel(intermediate_dim=32),
+        context_size=4,
+        context_overlap=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    p2v_params = pose2vid.init_params(rng, 64, 64)
+
+    from mmgt_tpu.models.smga import GestureDecoder
+
+    smga = SMGA(feature_type="baseline")
+    smga.model = GestureDecoder(
+        seq_len=80, latent_dim=64, ff_size=64, num_layers=1, num_heads=4,
+        cond_feature_dim=smga.cond_dim,
+    )
+    smga_state = smga.init_state(rng, batch_size=1)
+
+    cfg = InferenceConfig(
+        width=64,
+        height=64,
+        video_length=6,
+        num_inference_steps=2,
+        a2p_sampling_steps=3,
+        window_microbatch=None,
+    )
+    pipe = Audio2VideoPipeline(
+        smga=smga,
+        smga_params=smga_state.ema_params,
+        pose2vid=pose2vid,
+        pose2vid_params=p2v_params,
+        config=cfg,
+    )
+    init_kp = np.zeros((402,), np.float32)
+    init_kp.reshape(134, 3)[:, 0] = 256.0
+    init_kp.reshape(134, 3)[:, 1] = 256.0
+    init_kp.reshape(134, 3)[:, 2] = 1.0
+
+    out = pipe(rng, wav_path, np.zeros((64, 64, 3), np.float32), init_kp)
+    assert out["frames"].shape == (6, 64, 64, 3)
+    assert np.isfinite(out["frames"]).all()
+    assert out["keypoints"].shape[1] == 402
