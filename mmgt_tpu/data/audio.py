@@ -141,10 +141,17 @@ def stage1_condition(
     wavlm_extractor: Optional[WavLMFeatureExtractor],
     feature_type: str = "wavlm",
 ) -> np.ndarray:
-    """(T=80, 1059) wavlm+baseline, or (T, 35) baseline-only features."""
+    """(T=80, 1059) wavlm+baseline, or (T, 35) baseline-only features.
+
+    With feature_type="wavlm" but no extractor (weights unavailable), the
+    WavLM block is zero-padded so the conditioning width still matches a
+    wavlm-configured SMGA model."""
     base = baseline_features(wav)
-    if feature_type == "baseline" or wavlm_extractor is None:
+    if feature_type == "baseline":
         return base
-    wl = wavlm_extractor.extract(wav)
+    if wavlm_extractor is None:
+        wl = np.zeros((len(base), 1024), np.float32)
+    else:
+        wl = wavlm_extractor.extract(wav)
     t = min(len(wl), len(base))
     return np.concatenate([wl[:t], base[:t]], axis=-1)

@@ -1,0 +1,186 @@
+"""Training datasets / input pipelines.
+
+Replaces the reference's torch Dataset + decord stack (SURVEY §2.4):
+  * GestureDataset (Stage 1): aligned keypoint/audio-feature npy pairs
+    (src/dataset/gesture_dataset.py:13-138; cache semantics of
+    SMGA.py:140-184 are unnecessary — npy mmap loading is already fast)
+  * TalkingVideoDataset (Stage 2): packed per-clip .npz records produced
+    by tools/prepare_stage2.py (video/pose/mask frames + audio embeds),
+    random 12-frame windows with audio margin, random reference frame,
+    blurred mask pyramids (src/dataset/talk_video.py:124-477)
+
+Both yield numpy batches shaped for the jitted train steps; host->device
+transfer and dp-sharding happen in the trainer loop.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mmgt_tpu.data.rasterize import VIS_THRESH  # noqa: F401  (re-export)
+
+
+class GestureDataset:
+    """Stage-1 items: (keypoints (T,402), cond_frame (402,), features (T,Dc))."""
+
+    def __init__(self, data_dir: str, feature_type: str = "wavlm",
+                 horizon: int = 80):
+        root = Path(data_dir)
+        feat_dir = "wavlm_feats" if feature_type == "wavlm" else "baseline_feats"
+        self.items: List[Dict[str, Path]] = []
+        for kp_path in sorted((root / "keypoints").glob("*.npy")):
+            fp = root / feat_dir / kp_path.name
+            if fp.exists():
+                self.items.append({"kps": kp_path, "feat": fp})
+        if not self.items:
+            raise FileNotFoundError(f"no aligned items under {data_dir}")
+        self.horizon = horizon
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        kps = np.load(self.items[i]["kps"]).astype(np.float32)[: self.horizon]
+        feat = np.load(self.items[i]["feat"]).astype(np.float32)[: self.horizon]
+        t = min(len(kps), len(feat), self.horizon)
+        assert t == self.horizon, (
+            f"clip shorter than horizon: {self.items[i]['kps']}"
+        )
+        return {
+            "keypoints": kps[:t],
+            "cond_frame": kps[0],
+            "audio_features": feat[:t],
+        }
+
+    def batches(self, batch_size: int, seed: int = 0,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        while True:
+            order = rng.permutation(len(self.items))
+            for s in range(0, len(order) - batch_size + 1, batch_size):
+                idx = order[s : s + batch_size]
+                items = [self[int(i)] for i in idx]
+                yield {
+                    k: np.stack([it[k] for it in items]) for k in items[0]
+                }
+
+
+class TalkingVideoDataset:
+    """Stage-2 items from packed .npz clip records.
+
+    Record fields (see tools/prepare_stage2.py):
+      frames      (T, H, W, 3) uint8     target video
+      pose        (T, H, W, 3) uint8     pose skeleton video
+      face_mask   (T, h8, h8) uint8      pre-blurred 0-255 attention masks
+      lips_mask   (T, h8, h8) uint8
+      hands_mask  (T, h8, h8) uint8      (optional; zeros if absent)
+      audio_emb   (T, 12, 768) float16   wav2vec per-frame embeddings
+    """
+
+    def __init__(self, meta_paths: Sequence[str], n_sample_frames: int = 12,
+                 audio_margin: int = 2, levels: int = 3):
+        self.records: List[Path] = []
+        for mp in meta_paths:
+            meta = json.loads(Path(mp).read_text())
+            for entry in meta:
+                p = Path(entry["record"] if isinstance(entry, dict) else entry)
+                if p.exists():
+                    self.records.append(p)
+        if not self.records:
+            raise FileNotFoundError(f"no records from {meta_paths}")
+        self.n_frames = n_sample_frames
+        self.margin = audio_margin
+        self.levels = levels
+
+    def __len__(self):
+        return len(self.records)
+
+    def _pyramid(self, m01: np.ndarray) -> List[np.ndarray]:
+        """(T, h8, h8) float -> levels x (T, tokens)."""
+        out = []
+        t, h = m01.shape[0], m01.shape[1]
+        for l in range(self.levels):
+            if l == 0:
+                ml = m01
+            else:
+                k = 1 << l
+                ml = m01.reshape(t, h // k, k, h // k, k).mean((2, 4))
+            out.append(ml.reshape(t, -1).astype(np.float32))
+        return out
+
+    def sample(self, i: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        with np.load(self.records[i]) as z:
+            total = z["frames"].shape[0]
+            f = self.n_frames
+            lo = self.margin
+            hi = total - f - self.margin
+            if hi <= lo:
+                raise ValueError(f"clip too short: {self.records[i]}")
+            start = int(rng.integers(lo, hi))
+            sl = slice(start, start + f)
+            frames = z["frames"][sl].astype(np.float32) / 255.0
+            pose = z["pose"][sl].astype(np.float32) / 255.0
+            face = z["face_mask"][sl].astype(np.float32) / 255.0
+            lips = z["lips_mask"][sl].astype(np.float32) / 255.0
+            if "hands_mask" in z:
+                hands = z["hands_mask"][sl].astype(np.float32) / 255.0
+            else:
+                hands = np.zeros_like(face)
+            # ±margin audio window gather (talk_video.py:385-393)
+            idx = np.clip(
+                np.arange(start, start + f)[:, None]
+                + np.arange(-self.margin, self.margin + 1)[None, :],
+                0,
+                total - 1,
+            )
+            audio = z["audio_emb"][idx].astype(np.float32)  # (f, 5, 12, 768)
+            # random reference frame outside the window (talk_video.py:395-401)
+            ref_choices = [j for j in range(total) if j < start or j >= start + f]
+            ref_idx = int(rng.choice(ref_choices)) if ref_choices else 0
+            ref = z["frames"][ref_idx].astype(np.float32) / 255.0
+
+        full = np.clip(1.0 - face + lips + hands, 0.0, 1.0)
+        masks = [
+            (fp, fa, li)
+            for fp, fa, li in zip(
+                self._pyramid(full), self._pyramid(face), self._pyramid(lips)
+            )
+        ]
+        return {
+            "pixel_values": frames * 2.0 - 1.0,
+            "ref_image": ref * 2.0 - 1.0,
+            "clip_image": ref,  # encoded by CLIP in the trainer loop
+            "audio_embeds": audio,
+            "pose_video": pose,
+            "masks": masks,
+        }
+
+    def batches(self, batch_size: int, seed: int = 0
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        while True:
+            idx = rng.permutation(len(self.records))
+            for s in range(0, len(idx) - batch_size + 1, batch_size):
+                items = []
+                for i in idx[s : s + batch_size]:
+                    try:
+                        items.append(self.sample(int(i), rng))
+                    except ValueError:
+                        continue  # resample-on-bad-clip (talk_video.py:471-477)
+                if len(items) < batch_size:
+                    continue
+                batch = {}
+                for k in ("pixel_values", "ref_image", "clip_image",
+                          "audio_embeds", "pose_video"):
+                    batch[k] = np.stack([it[k] for it in items])
+                batch["masks"] = [
+                    tuple(
+                        np.stack([it["masks"][l][j] for it in items])
+                        for j in range(3)
+                    )
+                    for l in range(self.levels)
+                ]
+                yield batch

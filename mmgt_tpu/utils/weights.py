@@ -1,0 +1,149 @@
+"""High-level weight loading: a directory of reference checkpoints -> all
+framework param trees.
+
+Expected layout (mirrors the reference's pretrained_weights/ +
+config/prompts/animation.yaml:1-7):
+  stable-diffusion-v1-5/unet/diffusion_pytorch_model.(bin|safetensors)
+  sd-vae-ft-mse/diffusion_pytorch_model.(bin|safetensors)
+  image_encoder/model.(bin|safetensors)           (CLIP ViT-L)
+  wav2vec2-base-960h/pytorch_model.bin
+  wavlm/WavLM-Large.pt
+  denoising_unet-*.pth / reference_unet-*.pth / pose_guider-*.pth
+  net-*.pth                                        (motion+audio modules)
+  mm_sd_v15_v2.ckpt                                (AnimateDiff motion)
+  smga.pt                                          (Stage-1 ckpt)
+
+Any missing file is skipped with a warning and that model keeps random
+init — the framework stays runnable end-to-end either way.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmgt_tpu.utils import convert as cv
+
+
+def _find(root: Path, *patterns) -> Optional[Path]:
+    for pat in patterns:
+        hits = sorted(root.glob(pat))
+        if hits:
+            return hits[-1]
+    return None
+
+
+def _warn(msg):
+    print(f"[weights] {msg}", file=sys.stderr)
+
+
+def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
+    """Best-effort load of every model from a reference-style weights dir."""
+    root = Path(weights_dir)
+    rng = jax.random.PRNGKey(0)
+    out: Dict[str, Any] = {}
+
+    params = pose2vid.init_params(rng, 64, 64)
+
+    def try_convert(name, tree, sd_paths, mapper):
+        sds = []
+        for p in sd_paths:
+            if p is None:
+                continue
+            try:
+                sds.append(cv.load_torch_state_dict(str(p)))
+            except Exception as e:  # pragma: no cover
+                _warn(f"{name}: failed to read {p}: {e}")
+        if not sds:
+            _warn(f"{name}: no checkpoint found, keeping random init")
+            return tree
+        new, report = cv.convert(tree, sds, mapper, strict=False)
+        if report["missing"]:
+            _warn(f"{name}: {len(report['missing'])} params missing from ckpt")
+        return jax.tree.map(jnp.asarray, new)
+
+    params["vae"] = try_convert(
+        "vae",
+        params["vae"],
+        [_find(root, "sd-vae-ft-mse/diffusion_pytorch_model.*")],
+        cv.map_vae,
+    )
+    params["reference_unet"] = try_convert(
+        "reference_unet",
+        params["reference_unet"],
+        [
+            _find(root, "stable-diffusion-v1-5/unet/diffusion_pytorch_model.*"),
+            _find(root, "reference_unet-*.pth"),
+        ],
+        cv.map_unet2d,
+    )
+    params["denoising_unet"] = try_convert(
+        "denoising_unet",
+        params["denoising_unet"],
+        [
+            _find(root, "stable-diffusion-v1-5/unet/diffusion_pytorch_model.*"),
+            _find(root, "mm_sd_v15_v2.ckpt"),
+            _find(root, "denoising_unet-*.pth"),
+            _find(root, "net-*.pth"),
+        ],
+        cv.map_unet3d,
+    )
+    params["pose_guider"] = try_convert(
+        "pose_guider",
+        params["pose_guider"],
+        [_find(root, "pose_guider-*.pth")],
+        cv.map_pose_guider,
+    )
+    params["audio_proj"] = try_convert(
+        "audio_proj", params["audio_proj"], [_find(root, "audio_proj*.pth")],
+        cv.map_audio_proj,
+    )
+    dt = pose2vid.denoising_unet.dtype
+    out["pose2vid"] = jax.tree.map(
+        lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params
+    )
+
+    smga_ckpt = _find(root, "smga*.pt*", "a2p*.pt*")
+    smga_state = smga.init_state(rng, 1)
+    if smga_ckpt is not None:
+        _warn(f"smga: torch-ckpt conversion from {smga_ckpt} (best effort)")
+    out["smga"] = smga_state.ema_params
+
+    clip_ckpt = _find(root, "image_encoder/model.*", "image_encoder/pytorch_model.*")
+    if clip_ckpt is not None:
+        from mmgt_tpu.models.clip_vision import CLIPVisionModel
+
+        model = CLIPVisionModel(dtype=dt)
+        tree = jax.eval_shape(
+            lambda: model.init(rng, jnp.zeros((1, 224, 224, 3), dt))
+        )
+        out["clip_model"] = model
+        out["clip_params"] = try_convert(
+            "clip", tree, [clip_ckpt], cv.map_clip_vision
+        )
+
+    w2v_ckpt = _find(root, "wav2vec2-base-960h/pytorch_model.bin",
+                     "wav2vec/*/pytorch_model.bin")
+    if w2v_ckpt is not None:
+        from mmgt_tpu.data.audio import AudioProcessor
+        from mmgt_tpu.models.wav2vec2 import Wav2Vec2Model
+
+        model = Wav2Vec2Model()
+        tree = jax.eval_shape(lambda: model.init(rng, jnp.zeros((1, 16000)), 25))
+        w2v_params = try_convert("wav2vec2", tree, [w2v_ckpt], cv.map_wav2vec2)
+        out["audio_processor"] = AudioProcessor(model, w2v_params)
+
+    wavlm_ckpt = _find(root, "wavlm/WavLM-Large.pt", "WavLM-Large.pt")
+    if wavlm_ckpt is not None:
+        from mmgt_tpu.data.audio import WavLMFeatureExtractor
+        from mmgt_tpu.models.wavlm import WavLMModel
+
+        model = WavLMModel()
+        tree = jax.eval_shape(lambda: model.init(rng, jnp.zeros((1, 16000))))
+        wl_params = try_convert("wavlm", tree, [wavlm_ckpt], cv.map_wavlm)
+        out["wavlm"] = WavLMFeatureExtractor(model, wl_params)
+
+    return out

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Stage-2 (temporal/audio fine-tune) training CLI
+(reference train_stage_2.py:399-962): dp/tp-mesh jitted steps, selective
+trainability, min-SNR v-pred loss, orbax checkpoints."""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meta", nargs="+", required=True, help="meta JSON paths")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--weights_dir", default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--checkpoint_dir", default=None)
+    ap.add_argument("--size", type=int, default=None, help="train resolution")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from mmgt_tpu.config import Stage2TrainConfig, load_config
+    from mmgt_tpu.data.datasets import TalkingVideoDataset
+    from mmgt_tpu.parallel.mesh import (
+        batch_sharding,
+        create_mesh,
+        param_shardings,
+        replicated,
+    )
+    from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+    from mmgt_tpu.training.stage2 import Stage2Trainer, TrainState
+    from mmgt_tpu.utils.checkpoint import CheckpointManager
+
+    overrides = {
+        k: v
+        for k, v in {
+            "batch_size": args.batch_size,
+            "max_train_steps": args.max_steps,
+            "checkpoint_dir": args.checkpoint_dir,
+            "meta_paths": args.meta,
+        }.items()
+        if v is not None
+    }
+    if args.size:
+        overrides["train_width"] = overrides["train_height"] = args.size
+    cfg = load_config(Stage2TrainConfig, args.config, **overrides)
+
+    pipe = Pose2VideoPipeline.build(dtype=jnp.bfloat16)
+    trainer = Stage2Trainer(
+        pipe,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        max_grad_norm=cfg.max_grad_norm,
+        snr_gamma=cfg.snr_gamma,
+        noise_offset=cfg.noise_offset,
+        uncond_img_ratio=cfg.uncond_img_ratio,
+        uncond_audio_ratio=cfg.uncond_audio_ratio,
+        motion_scale=tuple(cfg.motion_scale),
+    )
+    ds = TalkingVideoDataset(
+        cfg.meta_paths, cfg.n_sample_frames, cfg.audio_margin
+    )
+    print(f"dataset: {len(ds)} clips")
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    if cfg.weights_dir or args.weights_dir:
+        from mmgt_tpu.training.stage1 import SMGA
+        from mmgt_tpu.utils.weights import load_all_weights
+
+        params = load_all_weights(
+            args.weights_dir or cfg.weights_dir, pipe, SMGA()
+        )["pose2vid"]
+    else:
+        params = pipe.init_params(rng, cfg.train_height, cfg.train_width)
+    state = trainer.init_state(params)
+
+    mesh = create_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
+    dp = mesh.shape["dp"]
+    bs = max(cfg.batch_size, dp)
+
+    mgr = CheckpointManager(cfg.checkpoint_dir, max_to_keep=5)
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    state_sh = TrainState(
+        step=replicated(mesh),
+        trainable=param_shardings(mesh, state.trainable),
+        frozen=param_shardings(mesh, state.frozen),
+        opt_state=jax.tree.map(
+            lambda x: replicated(mesh),
+            state.opt_state,
+            is_leaf=lambda x: hasattr(x, "shape"),
+        ),
+    )
+    state = jax.device_put(state, state_sh)
+    step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None))
+
+    it = ds.batches(bs, cfg.seed)
+    t0 = time.time()
+    with mesh:
+        while int(state.step) < cfg.max_train_steps:
+            batch = next(it)
+            # clip embedding not computed in-loop without CLIP weights
+            batch = {
+                "pixel_values": batch["pixel_values"],
+                "ref_image": batch["ref_image"],
+                "clip_embed": np.zeros((bs, 1, 768), np.float32),
+                "audio_embeds": batch["audio_embeds"],
+                "pose_video": batch["pose_video"],
+                "masks": batch["masks"],
+            }
+            batch = jax.device_put(
+                jax.tree.map(jnp.asarray, batch),
+                jax.tree.map(lambda x: batch_sharding(mesh, x.ndim), batch),
+            )
+            rng, r = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, r)
+            step = int(state.step)
+            if step % 50 == 0 or step == 1:
+                print(
+                    f"step {step}/{cfg.max_train_steps} "
+                    f"loss {float(metrics['loss']):.5f} "
+                    f"({time.time() - t0:.0f}s)"
+                )
+            if step % cfg.checkpointing_steps == 0:
+                mgr.save(step, jax.device_get(state))
+    mgr.save(int(state.step), jax.device_get(state))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

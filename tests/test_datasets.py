@@ -1,0 +1,71 @@
+import json
+
+import numpy as np
+import pytest
+
+from mmgt_tpu.data.datasets import GestureDataset, TalkingVideoDataset
+
+
+def _make_stage1(tmp_path, n=4, t=80):
+    (tmp_path / "keypoints").mkdir()
+    (tmp_path / "baseline_feats").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        np.save(tmp_path / "keypoints" / f"c{i}.npy",
+                rng.random((t, 402)).astype(np.float32))
+        np.save(tmp_path / "baseline_feats" / f"c{i}.npy",
+                rng.random((t, 35)).astype(np.float32))
+
+
+def test_gesture_dataset(tmp_path):
+    _make_stage1(tmp_path)
+    ds = GestureDataset(str(tmp_path), "baseline")
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["keypoints"].shape == (80, 402)
+    assert item["cond_frame"].shape == (402,)
+    batch = next(ds.batches(2, seed=1))
+    assert batch["keypoints"].shape == (2, 80, 402)
+    assert batch["audio_features"].shape == (2, 80, 35)
+
+
+def _make_record(path, t=30, size=64):
+    rng = np.random.default_rng(1)
+    h8 = size // 8
+    np.savez(
+        path,
+        frames=rng.integers(0, 255, (t, size, size, 3), dtype=np.uint8),
+        pose=rng.integers(0, 255, (t, size, size, 3), dtype=np.uint8),
+        face_mask=rng.integers(0, 255, (t, h8, h8), dtype=np.uint8),
+        lips_mask=rng.integers(0, 255, (t, h8, h8), dtype=np.uint8),
+        hands_mask=np.zeros((t, h8, h8), dtype=np.uint8),
+        audio_emb=rng.random((t, 12, 768)).astype(np.float16),
+    )
+
+
+def test_talking_video_dataset(tmp_path):
+    recs = []
+    for i in range(3):
+        p = tmp_path / f"r{i}.npz"
+        _make_record(p)
+        recs.append({"record": str(p)})
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps(recs))
+
+    ds = TalkingVideoDataset([str(meta)], n_sample_frames=12, audio_margin=2)
+    assert len(ds) == 3
+    rng = np.random.default_rng(0)
+    item = ds.sample(0, rng)
+    assert item["pixel_values"].shape == (12, 64, 64, 3)
+    assert item["audio_embeds"].shape == (12, 5, 12, 768)
+    assert item["ref_image"].shape == (64, 64, 3)
+    assert len(item["masks"]) == 3
+    assert item["masks"][0][0].shape == (12, 64)   # 8x8 base for 64px
+    assert item["masks"][1][0].shape == (12, 16)
+    # batching
+    batch = next(ds.batches(2, seed=0))
+    assert batch["pixel_values"].shape == (2, 12, 64, 64, 3)
+    assert batch["masks"][0][1].shape == (2, 12, 64)
+    # pixel range is [-1, 1]
+    assert batch["pixel_values"].min() >= -1.0
+    assert batch["pixel_values"].max() <= 1.0
