@@ -1,0 +1,283 @@
+"""DWPose networks in flax: YOLOX-L person detector + RTMPose(DW-LL)
+whole-body 133-keypoint SimCC estimator.
+
+Native replacement for the reference's onnxruntime sessions
+(src/dwpose/wholebody.py:14-27: yolox_l.onnx + dw-ll_ucoco_384.onnx).
+Pre/post-processing lives in `mmgt_tpu.data.dwpose_infer`; these modules
+produce the same tensors the ONNX graphs emit:
+  YOLOX:   (B, 8400, 85)  raw grid predictions (obj/cls sigmoided)
+  RTMPose: simcc_x (B, 133, 576), simcc_y (B, 133, 768)
+
+Structure follows the published YOLOX-L (CSPDarknet + PAFPN + decoupled
+head) and RTMPose-L (CSPNeXt + RTMCC/GAU head) configurations; ONNX
+weight conversion is wired through mmgt_tpu.utils.convert-style mapping
+once an ONNX reader is available (no onnxruntime in this image).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmgt_tpu.nn.layers import LayerNorm
+
+
+class ConvBnAct(nn.Module):
+    out: int
+    k: int = 3
+    stride: int = 1
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.out, (self.k, self.k), strides=(self.stride, self.stride),
+            feature_group_count=self.groups, use_bias=False,
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn")(x)
+        return nn.silu(x)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (YOLOX)."""
+
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        tl = x[:, ::2, ::2]
+        bl = x[:, 1::2, ::2]
+        tr = x[:, ::2, 1::2]
+        br = x[:, 1::2, 1::2]
+        x = jnp.concatenate([tl, bl, tr, br], -1)
+        return ConvBnAct(self.out, 3, dtype=self.dtype, name="conv")(x)
+
+
+class Bottleneck(nn.Module):
+    out: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBnAct(self.out, 1, dtype=self.dtype, name="conv1")(x)
+        h = ConvBnAct(self.out, 3, dtype=self.dtype, name="conv2")(h)
+        return x + h if self.shortcut and x.shape[-1] == self.out else h
+
+
+class CSPLayer(nn.Module):
+    out: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.out // 2
+        a = ConvBnAct(mid, 1, dtype=self.dtype, name="main")(x)
+        b = ConvBnAct(mid, 1, dtype=self.dtype, name="short")(x)
+        for i in range(self.n):
+            a = Bottleneck(mid, self.shortcut, self.dtype, name=f"block_{i}")(a)
+        return ConvBnAct(self.out, 1, dtype=self.dtype, name="final")(
+            jnp.concatenate([a, b], -1)
+        )
+
+
+class SPPBottleneck(nn.Module):
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBnAct(self.out // 2, 1, dtype=self.dtype, name="conv1")(x)
+        pools = [h]
+        for k in (5, 9, 13):
+            pools.append(
+                nn.max_pool(h, (k, k), strides=(1, 1), padding="SAME")
+            )
+        return ConvBnAct(self.out, 1, dtype=self.dtype, name="conv2")(
+            jnp.concatenate(pools, -1)
+        )
+
+
+class CSPDarknet(nn.Module):
+    """YOLOX-L backbone (width 1.0, depth 1.0)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Focus(64, self.dtype, name="stem")(x)
+        x = ConvBnAct(128, 3, 2, dtype=self.dtype, name="dark2_conv")(x)
+        x = CSPLayer(128, 3, dtype=self.dtype, name="dark2_csp")(x)
+        x = ConvBnAct(256, 3, 2, dtype=self.dtype, name="dark3_conv")(x)
+        c3 = CSPLayer(256, 9, dtype=self.dtype, name="dark3_csp")(x)
+        x = ConvBnAct(512, 3, 2, dtype=self.dtype, name="dark4_conv")(c3)
+        c4 = CSPLayer(512, 9, dtype=self.dtype, name="dark4_csp")(x)
+        x = ConvBnAct(1024, 3, 2, dtype=self.dtype, name="dark5_conv")(c4)
+        x = SPPBottleneck(1024, self.dtype, name="dark5_spp")(x)
+        c5 = CSPLayer(1024, 3, shortcut=False, dtype=self.dtype,
+                      name="dark5_csp")(x)
+        return c3, c4, c5
+
+
+def _upsample2(x):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
+
+
+class YOLOXL(nn.Module):
+    """Full YOLOX-L: (B, 640, 640, 3) raw-pixel RGB -> (B, 8400, 85)."""
+
+    num_classes: int = 80
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c3, c4, c5 = CSPDarknet(self.dtype, name="backbone")(x)
+        # PAFPN
+        p5 = ConvBnAct(512, 1, dtype=self.dtype, name="lateral5")(c5)
+        f4 = CSPLayer(512, 3, False, self.dtype, name="fpn_c4")(
+            jnp.concatenate([_upsample2(p5), c4], -1)
+        )
+        p4 = ConvBnAct(256, 1, dtype=self.dtype, name="lateral4")(f4)
+        f3 = CSPLayer(256, 3, False, self.dtype, name="fpn_c3")(
+            jnp.concatenate([_upsample2(p4), c3], -1)
+        )
+        d3 = ConvBnAct(256, 3, 2, dtype=self.dtype, name="down3")(f3)
+        f4b = CSPLayer(512, 3, False, self.dtype, name="pan_c4")(
+            jnp.concatenate([d3, p4], -1)
+        )
+        d4 = ConvBnAct(512, 3, 2, dtype=self.dtype, name="down4")(f4b)
+        f5b = CSPLayer(1024, 3, False, self.dtype, name="pan_c5")(
+            jnp.concatenate([d4, p5], -1)
+        )
+
+        outs = []
+        for i, feat in enumerate((f3, f4b, f5b)):
+            h = ConvBnAct(256, 1, dtype=self.dtype, name=f"head_stem_{i}")(feat)
+            cls = ConvBnAct(256, 3, dtype=self.dtype, name=f"head_cls0_{i}")(h)
+            cls = ConvBnAct(256, 3, dtype=self.dtype, name=f"head_cls1_{i}")(cls)
+            reg = ConvBnAct(256, 3, dtype=self.dtype, name=f"head_reg0_{i}")(h)
+            reg = ConvBnAct(256, 3, dtype=self.dtype, name=f"head_reg1_{i}")(reg)
+            cls_out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                              name=f"cls_pred_{i}")(cls)
+            reg_out = nn.Conv(4, (1, 1), dtype=self.dtype,
+                              name=f"reg_pred_{i}")(reg)
+            obj_out = nn.Conv(1, (1, 1), dtype=self.dtype,
+                              name=f"obj_pred_{i}")(reg)
+            out = jnp.concatenate(
+                [reg_out, jax.nn.sigmoid(obj_out), jax.nn.sigmoid(cls_out)], -1
+            )
+            outs.append(out.reshape(out.shape[0], -1, out.shape[-1]))
+        return jnp.concatenate(outs, 1)
+
+
+# --------------------------------------------------------------- RTMPose
+class CSPNeXtBlock(nn.Module):
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBnAct(self.out, 3, dtype=self.dtype, name="conv1")(x)
+        h = ConvBnAct(self.out, 5, groups=self.out, dtype=self.dtype,
+                      name="dwconv")(h)
+        return x + h if x.shape[-1] == self.out else h
+
+
+class ChannelAttention(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = jnp.mean(x, axis=(1, 2), keepdims=True)
+        w = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc")(w)
+        return x * jax.nn.hard_sigmoid(w)
+
+
+class CSPNeXtLayer(nn.Module):
+    out: int
+    n: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.out // 2
+        a = ConvBnAct(mid, 1, dtype=self.dtype, name="main")(x)
+        b = ConvBnAct(mid, 1, dtype=self.dtype, name="short")(x)
+        for i in range(self.n):
+            a = CSPNeXtBlock(mid, self.dtype, name=f"block_{i}")(a)
+        h = jnp.concatenate([a, b], -1)
+        h = ChannelAttention(self.dtype, name="attn")(h)
+        return ConvBnAct(self.out, 1, dtype=self.dtype, name="final")(h)
+
+
+class GAU(nn.Module):
+    """Gated attention unit (RTMCC head)."""
+
+    hidden: int = 256
+    expansion: int = 2
+    s: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, K, hidden)
+        e = self.hidden * self.expansion
+        h = LayerNorm(name="norm")(x)
+        uv = nn.Dense(2 * e + self.s, dtype=self.dtype, name="uv")(h)
+        u, v, base = jnp.split(uv, [e, 2 * e], axis=-1)
+        u, v = nn.silu(u), nn.silu(v)
+        base = nn.silu(base)
+        gamma = self.param("gamma", nn.initializers.ones, (2, self.s))
+        beta = self.param("beta", nn.initializers.zeros, (2, self.s))
+        q = base * gamma[0] + beta[0]
+        k = base * gamma[1] + beta[1]
+        attn = jnp.einsum("bnd,bmd->bnm", q, k) / x.shape[1]
+        attn = jnp.square(nn.relu(attn))
+        o = u * jnp.einsum("bnm,bme->bne", attn, v)
+        return x + nn.Dense(self.hidden, dtype=self.dtype, name="out")(o)
+
+
+class RTMPose(nn.Module):
+    """DW-LL whole-body: (B, 384, 288, 3) normalized crops ->
+    (simcc_x (B, 133, 576), simcc_y (B, 133, 768))."""
+
+    num_keypoints: int = 133
+    input_wh: Tuple[int, int] = (288, 384)
+    split_ratio: float = 2.0
+    gau_hidden: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # CSPNeXt-L backbone
+        h = ConvBnAct(32, 3, 2, dtype=self.dtype, name="stem0")(x)
+        h = ConvBnAct(32, 3, dtype=self.dtype, name="stem1")(h)
+        h = ConvBnAct(64, 3, dtype=self.dtype, name="stem2")(h)
+        for i, (ch, n) in enumerate(((128, 3), (256, 6), (512, 6), (1024, 3))):
+            h = ConvBnAct(ch, 3, 2, dtype=self.dtype, name=f"stage{i}_down")(h)
+            h = CSPNeXtLayer(ch, n, self.dtype, name=f"stage{i}_csp")(h)
+
+        # RTMCC head: 7x7 conv to K channels, flatten spatial, GAU, SimCC fcs
+        h = nn.Conv(self.num_keypoints, (7, 7), dtype=self.dtype,
+                    name="final_layer")(h)
+        b, hh, ww, k = h.shape
+        tokens = h.transpose(0, 3, 1, 2).reshape(b, k, hh * ww)
+        tokens = nn.Dense(self.gau_hidden, use_bias=False, dtype=self.dtype,
+                          name="mlp")(tokens)
+        tokens = LayerNorm(name="mlp_norm")(tokens)
+        tokens = GAU(self.gau_hidden, dtype=self.dtype, name="gau")(tokens)
+        wx = int(self.input_wh[0] * self.split_ratio)
+        wy = int(self.input_wh[1] * self.split_ratio)
+        simcc_x = nn.Dense(wx, dtype=self.dtype, name="cls_x")(tokens)
+        simcc_y = nn.Dense(wy, dtype=self.dtype, name="cls_y")(tokens)
+        return simcc_x, simcc_y
