@@ -64,6 +64,9 @@ class Pose2VideoPipeline:
     # On a single chip this bounds activation memory; on a mesh the window
     # batch axis shards over "dp" instead.
     window_microbatch: Optional[int] = None
+    # denoising scan steps per device launch (one jit dispatch each);
+    # bounds per-execution runtime for remote-attached TPUs
+    steps_per_launch: int = 8
 
     @classmethod
     def build(cls, dtype=jnp.bfloat16, **kwargs) -> "Pose2VideoPipeline":
@@ -90,8 +93,14 @@ class Pose2VideoPipeline:
         guidance_scale: float = 3.5,
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
     ) -> jnp.ndarray:
-        """Returns (1, F, H, W, 3) frames in [0, 1]. Jit-compiled per
-        (F, H, W, steps) shape bucket."""
+        """Returns (1, F, H, W, 3) frames in [0, 1].
+
+        The denoising loop is launched in chunks of `steps_per_launch`
+        scan steps: each launch is one device program, the conditioning
+        tensors stay resident on device between launches. (Besides
+        progress visibility, this bounds single-execution runtime, which
+        remote-attached TPU transports cap.)
+        """
         f = pose_video.shape[1]
         state = self.scheduler.init(num_inference_steps)
         windows = jnp.asarray(
@@ -99,47 +108,36 @@ class Pose2VideoPipeline:
                 num_inference_steps, f, self.context_size, 1, self.context_overlap
             )
         )
-        return self._generate(
-            params,
-            rng,
-            ref_image,
-            pose_video,
-            clip_embed,
-            tuple(tuple(lv) for lv in masks),
-            audio_embeds,
-            state,
-            windows,
-            guidance_scale,
-            tuple(motion_scale),
+        masks = tuple(tuple(lv) for lv in masks)
+        cond, latents = self._prepare(
+            params, rng, ref_image, pose_video, clip_embed, masks, audio_embeds
         )
+        k = _largest_divisor_at_most(
+            num_inference_steps, self.steps_per_launch or num_inference_steps
+        )
+        for o in range(0, num_inference_steps, k):
+            chunk_state = DDIMState(*[x[o : o + k] for x in state])
+            latents = self._denoise_chunk(
+                params,
+                latents,
+                cond,
+                chunk_state,
+                windows[o : o + k],
+                guidance_scale,
+                tuple(motion_scale),
+            )
+        return self._decode(params, latents)
 
-    @functools.partial(
-        jax.jit,
-        static_argnums=(0,),
-        static_argnames=("guidance_scale", "motion_scale"),
-    )
-    def _generate(
-        self,
-        params,
-        rng,
-        ref_image,
-        pose_video,
-        clip_embed,
-        masks,
-        audio_embeds,
-        state: DDIMState,
-        windows: jnp.ndarray,
-        guidance_scale: float,
-        motion_scale: Tuple[float, float, float],
-    ) -> jnp.ndarray:
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _prepare(
+        self, params, rng, ref_image, pose_video, clip_embed, masks, audio_embeds
+    ):
+        """Reference branch + conditioning features + initial noise."""
         dtype = self.denoising_unet.dtype
         f = pose_video.shape[1]
-        num_steps, num_windows, ctx_len = windows.shape
-        w = num_windows
+        w = self._num_windows(f)
         mb = _largest_divisor_at_most(w, self.window_microbatch or w)
-        groups = w // mb
 
-        # 1. reference branch (once, cond-only, t=0)
         ref_latent = self.vae.apply(
             params["vae"], ref_image.astype(dtype), method=AutoencoderKL.encode_scaled
         )
@@ -152,7 +150,6 @@ class Pose2VideoPipeline:
         # tile banks to the (2*mb,) CFG batch; first mb rows (uncond) unread
         banks = [jnp.repeat(b, 2 * mb, axis=0) for b in banks]
 
-        # 2. conditioning features
         pose_feat = self.pose_guider.apply(
             params["pose_guider"], pose_video.astype(dtype)
         )  # (1, F, h, w, 320)
@@ -169,14 +166,54 @@ class Pose2VideoPipeline:
             [jnp.repeat(ctx_uncond, mb, axis=0), jnp.repeat(ctx_cond, mb, axis=0)], 0
         )  # (2*mb, 1, 768)
 
-        # 3. initial noise
         h8, w8 = ref_latent.shape[1], ref_latent.shape[2]
         rng, noise_rng = jax.random.split(rng)
         latents = jax.random.normal(noise_rng, (f, h8, w8, 4), jnp.float32)
-
-        masks_full = [
+        masks_full = tuple(
             tuple(m[0].astype(dtype) for m in lv) for lv in masks
-        ]  # 3 levels x 3 kinds, (F, L)
+        )  # 3 levels x 3 kinds, (F, L)
+        cond = {
+            "banks": banks,
+            "pose_feat": pose_feat,
+            "audio_tokens": audio_tokens,
+            "ctx_cfg": ctx_cfg,
+            "masks": masks_full,
+        }
+        return cond, latents
+
+    def _num_windows(self, f: int) -> int:
+        if f <= self.context_size:
+            return 1
+        stride = self.context_size - self.context_overlap
+        return -(-f // stride)
+
+    @functools.partial(
+        jax.jit,
+        static_argnums=(0,),
+        static_argnames=("guidance_scale", "motion_scale"),
+    )
+    def _denoise_chunk(
+        self,
+        params,
+        latents,
+        cond,
+        state: DDIMState,
+        windows: jnp.ndarray,
+        guidance_scale: float,
+        motion_scale: Tuple[float, float, float],
+    ) -> jnp.ndarray:
+        dtype = self.denoising_unet.dtype
+        f = latents.shape[0]
+        h8, w8 = latents.shape[1], latents.shape[2]
+        num_steps, num_windows, ctx_len = windows.shape
+        w = num_windows
+        mb = _largest_divisor_at_most(w, self.window_microbatch or w)
+        groups = w // mb
+        banks = cond["banks"]
+        pose_feat = cond["pose_feat"]
+        audio_tokens = cond["audio_tokens"]
+        ctx_cfg = cond["ctx_cfg"]
+        masks_full = cond["masks"]
 
         def denoise_group(latents_d, step_t, idx_g):
             """Denoise `mb` windows (one CFG-batched UNet call)."""
@@ -224,20 +261,25 @@ class Pose2VideoPipeline:
                 )  # (G, 2mb, ctx, h, w, 4)
             pred = pred.reshape(groups, 2, mb, ctx_len, h8, w8, 4)
             uncond = pred[:, 0].reshape(w * ctx_len, h8, w8, 4)
-            cond = pred[:, 1].reshape(w * ctx_len, h8, w8, 4)
+            cond_p = pred[:, 1].reshape(w * ctx_len, h8, w8, 4)
             seg = lambda x: jax.ops.segment_sum(x, flat, num_segments=f)
             count = jax.ops.segment_sum(
                 jnp.ones((w * ctx_len,), jnp.float32), flat, num_segments=f
             )[:, None, None, None]
             u = seg(uncond) / count
-            c = seg(cond) / count
+            c = seg(cond_p) / count
             noise_pred = u + guidance_scale * (c - u)
             latents = self.scheduler.step(state, noise_pred, s, latents)
             return latents, None
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(num_steps))
+        return latents
 
-        # 4. batched VAE decode in fixed chunks
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, params, latents) -> jnp.ndarray:
+        """Batched VAE decode in fixed chunks."""
+        dtype = self.denoising_unet.dtype
+        f, h8, w8 = latents.shape[0], latents.shape[1], latents.shape[2]
         chunk = _largest_divisor_at_most(f, self.decode_chunk_cap)
         lat_chunks = latents.astype(dtype).reshape(f // chunk, chunk, h8, w8, 4)
         decode = lambda z: self.vae.apply(
