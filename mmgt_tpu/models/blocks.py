@@ -152,6 +152,38 @@ class TemporalBasicTransformerBlock(nn.Module):
         return x
 
 
+class CrossAttnProj(nn.Module):
+    """q/k/v/out projections of one cross-attention (param layout matches
+    `Attention`: biasless qkv, biased out) with the attention math hoisted
+    out so several regions can share one batched attention call."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_out = nn.Dense(inner, dtype=self.dtype)
+
+    def qkv(self, x, ctx):
+        b, lq, lk = x.shape[0], x.shape[1], ctx.shape[1]
+        sh = lambda t, l: t.reshape(b, l, self.heads, self.head_dim).transpose(
+            0, 2, 1, 3
+        )
+        return (
+            sh(self.to_q(x), lq),
+            sh(self.to_k(ctx), lk),
+            sh(self.to_v(ctx), lk),
+        )
+
+    def out(self, o):
+        b, h, l, d = o.shape
+        return self.to_out(o.transpose(0, 2, 1, 3).reshape(b, l, h * d))
+
+
 class AudioTransformerBlock(nn.Module):
     """MM-HAA block: self-attn + 3 parallel masked audio cross-attentions.
 
@@ -159,6 +191,8 @@ class AudioTransformerBlock(nn.Module):
     three audio cross-attentions whose outputs are gated by resolution-
     matched full/face/lip spatial masks, passed through zero-init 1x1
     convs, scaled by motion_scale=[pose, face, lip] and summed residually.
+    The three attentions share ONE batched attention call (stacked on the
+    head axis) — same math, a third of the kernel launches.
 
     x: (B*F, L, C); audio_tokens: (B*F, L_a, 768);
     masks: (full, face, lip), each (B*F, L); motion_scale: length-3.
@@ -176,24 +210,28 @@ class AudioTransformerBlock(nn.Module):
         masks: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
     ):
+        from mmgt_tpu.ops.attention import dot_product_attention
+
         normed = LayerNorm(name="norm1")(x)
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
             normed
         )
 
         normed = LayerNorm(name="norm2")(x)
-        full_m, face_m, lip_m = masks
+        projs = [
+            CrossAttnProj(self.heads, self.head_dim, self.dtype, name=f"attn2_{i}")
+            for i in range(3)
+        ]
+        qs, ks, vs = zip(*[p.qkv(normed, audio_tokens) for p in projs])
+        o = dot_product_attention(
+            jnp.concatenate(qs, 1), jnp.concatenate(ks, 1), jnp.concatenate(vs, 1)
+        )
+        outs = jnp.split(o, 3, axis=1)
         out = x
-        for i, (name, mask, scale) in enumerate(
-            [
-                ("attn2_0", full_m, motion_scale[0]),
-                ("attn2_1", face_m, motion_scale[1]),
-                ("attn2_2", lip_m, motion_scale[2]),
-            ]
+        for i, (proj, mask, scale) in enumerate(
+            zip(projs, masks, motion_scale)
         ):
-            h = Attention(self.heads, self.head_dim, dtype=self.dtype, name=name)(
-                normed, audio_tokens
-            )
+            h = proj.out(outs[i])
             h = h * mask[:, :, None].astype(h.dtype)
             # zero-initialized 1x1 conv == Dense on channel-last tokens
             h = nn.Dense(
@@ -316,8 +354,43 @@ def sinusoidal_positions(max_len: int, dim: int) -> jnp.ndarray:
     return pe
 
 
+class TemporalAttention(nn.Module):
+    """Frame-axis attention computed in (B, F, L, C) layout via einsum —
+    no (B*HW, F, C) transposes, which otherwise dominate motion-module
+    cost (the per-module layout shuffle moves hundreds of MB through HBM).
+    Param names match `Attention` (to_q/k/v/out) for converter parity."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, f, l, c = x.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        hsplit = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
+        q, k, v = hsplit(q), hsplit(k), hsplit(v)
+        # With F ~ 12 the per-position F x F x D attention matmuls are far
+        # below MXU tile size (0.3% utilization as batched dots); formulate
+        # as broadcast multiply + reduce so it runs on the VPU and fuses.
+        qf = q.astype(jnp.float32) / math.sqrt(self.head_dim)
+        kf = k.astype(jnp.float32)
+        logits = jnp.sum(
+            qf[:, :, None] * kf[:, None], axis=-1
+        )  # (B, F, G, L, H)
+        probs = jax.nn.softmax(logits, axis=2)
+        o = jnp.sum(
+            probs[..., None].astype(v.dtype) * v[:, None], axis=2
+        )  # (B, F, L, H, D)
+        o = o.reshape(b, f, l, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
+
+
 class TemporalTransformerBlock(nn.Module):
-    """Two temporal self-attentions + ff over (B*HW, F, C) tokens."""
+    """Two temporal self-attentions + ff over (B, F, L, C) tokens."""
 
     heads: int
     head_dim: int
@@ -330,8 +403,8 @@ class TemporalTransformerBlock(nn.Module):
         pe = sinusoidal_positions(self.max_len, x.shape[-1])[:f]
         for i in range(2):
             h = LayerNorm(name=f"norm_{i}")(x)
-            h = h + pe[None].astype(h.dtype)
-            x = x + Attention(
+            h = h + pe[None, :, None, :].astype(h.dtype)
+            x = x + TemporalAttention(
                 self.heads, self.head_dim, dtype=self.dtype, name=f"attn_{i}"
             )(h)
         x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="ff_norm")(x))
@@ -342,8 +415,9 @@ class MotionModule(nn.Module):
     """AnimateDiff-style temporal transformer over the frame axis.
 
     Input (N=B*F, H, W, C); attention runs over frames at every spatial
-    location. proj_out is zero-initialized so a fresh module is an identity
-    (reference motion_module.py:72-74). num_transformer_block=1 with two
+    location, batched over (B, L) without layout transposes. proj_out is
+    zero-initialized so a fresh module is an identity (reference
+    motion_module.py:72-74). num_transformer_block=1 with two
     Temporal_Self attentions per the shipped config (animation.yaml:61-69).
     """
 
@@ -358,7 +432,6 @@ class MotionModule(nn.Module):
         residual = x
         t = GroupNorm(32, 1e-6, name="norm")(x)
         tokens = t.reshape(b, video_length, h * w, c)
-        tokens = tokens.transpose(0, 2, 1, 3).reshape(b * h * w, video_length, c)
         tokens = nn.Dense(c, dtype=self.dtype, name="proj_in")(tokens)
         tokens = TemporalTransformerBlock(
             self.heads, c // self.heads, self.max_len, self.dtype, name="block"
@@ -366,5 +439,4 @@ class MotionModule(nn.Module):
         tokens = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
         )(tokens)
-        out = tokens.reshape(b, h * w, video_length, c).transpose(0, 2, 1, 3)
-        return residual + out.reshape(n, h, w, c)
+        return residual + tokens.reshape(n, h, w, c)
