@@ -184,3 +184,53 @@ class TalkingVideoDataset:
                     for l in range(self.levels)
                 ]
                 yield batch
+
+
+class HumanDanceDataset:
+    """Stage-2 process-1 items: (ref frame, target frame, target pose) pairs
+    with a minimum frame separation (reference src/dataset/dance_image.py:
+    12-124, sample_margin from config/train/stage1.yaml:8).
+
+    Reads the same packed .npz/.mmr records as TalkingVideoDataset.
+    """
+
+    def __init__(self, meta_paths: Sequence[str], sample_margin: int = 30):
+        self.records: List[Path] = []
+        for mp in meta_paths:
+            meta = json.loads(Path(mp).read_text())
+            for entry in meta:
+                p = Path(entry["record"] if isinstance(entry, dict) else entry)
+                if p.exists():
+                    self.records.append(p)
+        if not self.records:
+            raise FileNotFoundError(f"no records from {meta_paths}")
+        self.margin = sample_margin
+
+    def __len__(self):
+        return len(self.records)
+
+    def sample(self, i: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        with np.load(self.records[i]) as z:
+            total = z["frames"].shape[0]
+            tgt = int(rng.integers(0, total))
+            # ref at least `margin` frames away when possible (dance_image.py:60-76)
+            lo, hi = tgt - self.margin, tgt + self.margin
+            choices = [j for j in range(total) if j <= lo or j >= hi]
+            ref = int(rng.choice(choices)) if choices else int(rng.integers(0, total))
+            frames = z["frames"]
+            pose = z["pose"]
+            return {
+                "tgt_image": frames[tgt].astype(np.float32) / 127.5 - 1.0,
+                "ref_image": frames[ref].astype(np.float32) / 127.5 - 1.0,
+                "tgt_pose": pose[tgt].astype(np.float32) / 255.0,
+                "clip_image": frames[ref].astype(np.float32) / 255.0,
+            }
+
+    def batches(self, batch_size: int, seed: int = 0
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        while True:
+            idx = rng.permutation(len(self.records))
+            for s in range(0, len(idx) - batch_size + 1, batch_size):
+                items = [self.sample(int(i), rng) for i in idx[s : s + batch_size]]
+                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
