@@ -1,0 +1,77 @@
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgt_tpu.utils.metrics import MetricsLogger
+from mmgt_tpu.utils.profiling import StepTimer, device_time
+
+
+def test_metrics_logger(tmp_path):
+    log = MetricsLogger(str(tmp_path), echo_every=1000)
+    log.log(1, {"loss": jnp.asarray(0.5), "lr": 1e-4})
+    log.log(2, {"loss": 0.4})
+    log.close()
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["step"] == 1 and abs(lines[0]["loss"] - 0.5) < 1e-6
+    assert lines[1]["loss"] == 0.4
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.mark("step")
+    t.lap("step")
+    t.lap("step")
+    assert "step" in t.means()
+    assert t.means()["step"] >= 0
+
+
+def test_device_time_runs():
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    x = jnp.ones((128, 128))
+    dt = device_time(f, x, iters=3)
+    assert dt >= 0
+
+
+@pytest.mark.slow
+def test_lmks2vid_pipeline_tiny():
+    from mmgt_tpu.models.audio_proj import AudioProjModel
+    from mmgt_tpu.models.pose_guider import PoseGuider
+    from mmgt_tpu.models.unet3d import DenoisingUNet3D
+    from mmgt_tpu.models.unet_ref import ReferenceUNet2D
+    from mmgt_tpu.models.vae import AutoencoderKL
+    from mmgt_tpu.pipelines.lmks2vid import Lmks2VideoPipeline
+    from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    tiny = dict(block_out_channels=(16, 32, 32, 32), heads=4)
+    pg = lambda: PoseGuider(embedding_channels=16, block_out_channels=(4, 8, 8, 16))
+    base = Pose2VideoPipeline(
+        vae=AutoencoderKL(block_out_channels=(16, 16, 32, 32)),
+        reference_unet=ReferenceUNet2D(**tiny),
+        denoising_unet=DenoisingUNet3D(**tiny),
+        pose_guider=pg(),
+        audio_proj=AudioProjModel(intermediate_dim=32),
+        context_size=4,
+        context_overlap=2,
+    )
+    pipe = Lmks2VideoPipeline(base=base, guider_a=pg(), guider_b=pg())
+    rng = jax.random.PRNGKey(0)
+    params = pipe.init_params(rng, 64, 64)
+    F, H = 4, 64
+    masks = [
+        tuple(jnp.ones((1, F, (8 >> l) * (8 >> l))) for _ in range(3))
+        for l in range(3)
+    ]
+    out = pipe(
+        params, rng,
+        jnp.zeros((1, H, H, 3)),
+        jnp.zeros((1, F, H, H, 3)),
+        jnp.zeros((1, F, H, H, 3)),
+        jnp.zeros((1, 1, 768)),
+        masks,
+        num_inference_steps=2,
+    )
+    assert out.shape == (1, F, H, H, 3)
+    assert np.isfinite(np.asarray(out)).all()
