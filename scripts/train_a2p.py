@@ -29,6 +29,7 @@ def main():
     from mmgt_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from mmgt_tpu.training.stage1 import SMGA, transform_if_no_negative
     from mmgt_tpu.utils.checkpoint import CheckpointManager
+    from mmgt_tpu.utils.metrics import MetricsLogger
 
     overrides = {
         k: v
@@ -79,6 +80,7 @@ def main():
 
     steps_per_epoch = max(len(ds) // bs, 1)
     it = ds.batches(bs, cfg.seed)
+    mlog = MetricsLogger(cfg.checkpoint_dir, "train_a2p")
     t0 = time.time()
     with mesh:
         for epoch in range(cfg.epochs):
@@ -88,11 +90,7 @@ def main():
                 rng, r = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, r)
             if (epoch + 1) % 10 == 0 or epoch == 0:
-                loss = float(metrics["loss"])
-                print(
-                    f"epoch {epoch + 1}/{cfg.epochs} step {int(state.step)} "
-                    f"loss {loss:.4f} ({time.time() - t0:.0f}s)"
-                )
+                mlog.log(int(state.step), {"epoch": epoch + 1, **metrics}, echo=True)
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
                 mgr.save(int(state.step), state)
     mgr.save(int(state.step), state)

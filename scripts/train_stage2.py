@@ -37,6 +37,7 @@ def main():
     from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
     from mmgt_tpu.training.stage2 import Stage2Trainer, TrainState
     from mmgt_tpu.utils.checkpoint import CheckpointManager
+    from mmgt_tpu.utils.metrics import MetricsLogger
 
     overrides = {
         k: v
@@ -104,6 +105,7 @@ def main():
     step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None))
 
     it = ds.batches(bs, cfg.seed)
+    mlog = MetricsLogger(cfg.checkpoint_dir, "train_stage2")
     t0 = time.time()
     with mesh:
         while int(state.step) < cfg.max_train_steps:
@@ -125,11 +127,7 @@ def main():
             state, metrics = step_fn(state, batch, r)
             step = int(state.step)
             if step % 50 == 0 or step == 1:
-                print(
-                    f"step {step}/{cfg.max_train_steps} "
-                    f"loss {float(metrics['loss']):.5f} "
-                    f"({time.time() - t0:.0f}s)"
-                )
+                mlog.log(step, metrics, echo=True)
             if step % cfg.checkpointing_steps == 0:
                 mgr.save(step, jax.device_get(state))
     mgr.save(int(state.step), jax.device_get(state))
