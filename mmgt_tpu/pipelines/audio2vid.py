@@ -128,8 +128,11 @@ class Audio2VideoPipeline:
 
         results: List[np.ndarray] = []
         last_frame = init_norm
+        # the SMGA model's own feature type is authoritative (its cond
+        # projection width is baked into the params)
+        feature_type = self.smga.feature_type
         for i, sl in enumerate(slices):
-            cond = stage1_condition(sl, self.wavlm_extractor, cfg.a2p_feature_type)
+            cond = stage1_condition(sl, self.wavlm_extractor, feature_type)
             cond_j = jnp.asarray(cond)[None]
             cf = jnp.asarray(last_frame, jnp.float32).reshape(1, -1)
             n_cand = cfg.motion_candidates if (cfg.use_motion_selection and i > 0) else 1

@@ -67,6 +67,10 @@ class Pose2VideoPipeline:
     # denoising scan steps per device launch (one jit dispatch each);
     # bounds per-execution runtime for remote-attached TPUs
     steps_per_launch: int = 8
+    # optional jax.sharding.Mesh: shards the (windows x CFG) UNet batch
+    # axis over "dp" — the TPU-native replacement for the reference's
+    # sequential window loop at multi-chip scale (SURVEY §5.7)
+    mesh: Optional[Any] = None
 
     @classmethod
     def build(cls, dtype=jnp.bfloat16, **kwargs) -> "Pose2VideoPipeline":
@@ -232,6 +236,16 @@ class Pose2VideoPipeline:
                 )
                 for lv in masks_full
             ]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, P("dp"))
+                )
+                lat_cfg = shard(lat_cfg)
+                pose_cfg = shard(pose_cfg)
+                audio_cfg = shard(audio_cfg)
+                mask_cfg = [tuple(shard(m) for m in lv) for lv in mask_cfg]
             t = jnp.full((2 * mb,), step_t, jnp.int32)
             pred = self.denoising_unet.apply(
                 params["denoising_unet"],

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--size", type=int, default=None, help="train resolution")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--val_ref", default=None, help="validation ref image")
+    ap.add_argument("--val_record", default=None,
+                    help="validation .npz record (pose+masks+audio)")
+    ap.add_argument("--val_every", type=int, default=500)
     args = ap.parse_args()
 
     from mmgt_tpu.config import Stage2TrainConfig, load_config
@@ -130,8 +134,56 @@ def main():
                 mlog.log(step, metrics, echo=True)
             if step % cfg.checkpointing_steps == 0:
                 mgr.save(step, jax.device_get(state))
+            if args.val_ref and args.val_record and step % args.val_every == 0:
+                _log_validation(pipe, trainer, state, args, cfg, step)
     mgr.save(int(state.step), jax.device_get(state))
     print("done")
+
+
+def _log_validation(pipe, trainer, state, args, cfg, step):
+    """Generate a validation clip with the current weights (the reference's
+    log_validation, train_stage_2.py:214-396 — wired in, not commented out)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmgt_tpu.training.stage2 import merge_params
+    from mmgt_tpu.utils.media import load_image, save_video
+
+    params = merge_params(
+        jax.device_get(state.trainable), jax.device_get(state.frozen)
+    )
+    ref = load_image(args.val_ref, cfg.train_height)
+    with np.load(args.val_record) as z:
+        f = min(z["frames"].shape[0], cfg.n_sample_frames)
+        pose = z["pose"][:f].astype(np.float32) / 255.0
+        face = z["face_mask"][:f].astype(np.float32) / 255.0
+        lips = z["lips_mask"][:f].astype(np.float32) / 255.0
+        audio = z["audio_emb"][:f].astype(np.float32)
+    full = np.clip(1.0 - face, 0.0, 1.0)
+    h8 = face.shape[-1]
+    masks = []
+    for l in range(3):
+        k = 1 << l
+        dn = lambda m: m.reshape(f, h8 // k, k, h8 // k, k).mean((2, 4)).reshape(1, f, -1)
+        masks.append((dn(full), dn(face), dn(lips)))
+    idx = np.clip(np.arange(f)[:, None] + np.arange(-2, 3)[None, :], 0, f - 1)
+    audio_w = audio[idx][None]
+    frames = pipe(
+        params,
+        jax.random.PRNGKey(0),
+        jnp.asarray(ref)[None] * 2 - 1,
+        jnp.asarray(pose)[None],
+        jnp.zeros((1, 1, 768)),
+        [tuple(jnp.asarray(m) for m in lv) for lv in masks],
+        jnp.asarray(audio_w),
+        num_inference_steps=20,
+        guidance_scale=3.5,
+        motion_scale=tuple(cfg.motion_scale),
+    )
+    out = f"{cfg.checkpoint_dir}/val_{step}.mp4"
+    save_video(np.asarray(frames[0]), out, fps=25)
+    print(f"[val] wrote {out}")
 
 
 if __name__ == "__main__":

@@ -93,3 +93,33 @@ def test_pose2vid_end_to_end_tiny():
     o = np.asarray(out)
     assert np.isfinite(o).all()
     assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_pose2vid_sharded_windows_8dev():
+    """Window-CFG batch sharded over an 8-device dp mesh (inference-side
+    context parallelism)."""
+    from mmgt_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(n_devices=8, tp=1)
+    pipe = _tiny_pipeline()
+    pipe.mesh = mesh
+    pipe.window_microbatch = None  # all 3 windows at once -> CFG batch 6
+    rng = jax.random.PRNGKey(0)
+    H = W = 64
+    F = 6
+    params = pipe.init_params(rng, H, W)
+    h8 = H // 8
+    masks = [
+        tuple(jnp.ones((1, F, (h8 >> l) * (h8 >> l))) for _ in range(3))
+        for l in range(3)
+    ]
+    with mesh:
+        out = pipe(
+            params, rng,
+            jnp.zeros((1, H, W, 3)), jnp.zeros((1, F, H, W, 3)),
+            jnp.zeros((1, 1, 768)), masks, None,
+            num_inference_steps=2,
+        )
+    assert out.shape == (1, F, H, W, 3)
+    assert np.isfinite(np.asarray(out)).all()
