@@ -71,11 +71,12 @@ class Stage2Trainer:
     uncond_img_ratio: float = 0.1
     uncond_audio_ratio: float = 0.05
     motion_scale: Tuple[float, float, float] = (1.0, 2.0, 3.0)
+    gradient_accumulation_steps: int = 1
 
     def __post_init__(self):
         # training scheduler: zero-SNR v-prediction (train_stage_2.py:453-462)
         self.scheduler = DDIMScheduler()
-        self.tx = optax.chain(
+        tx = optax.chain(
             optax.clip_by_global_norm(self.max_grad_norm),
             optax.adamw(
                 self.learning_rate,
@@ -85,6 +86,10 @@ class Stage2Trainer:
                 weight_decay=self.weight_decay,
             ),
         )
+        if self.gradient_accumulation_steps > 1:
+            # accelerate.accumulate equivalent (train_stage_2.py:725)
+            tx = optax.MultiSteps(tx, self.gradient_accumulation_steps)
+        self.tx = tx
 
     # ------------------------------------------------------------------
     def init_state(self, params: Dict[str, Any]) -> TrainState:

@@ -75,3 +75,29 @@ def test_lmks2vid_pipeline_tiny():
     )
     assert out.shape == (1, F, H, H, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_motion_autoencoder():
+    from mmgt_tpu.models.motion_autoencoder import EmbeddingNet
+
+    net = EmbeddingNet(length=16, dim=12, latent_dim=8)
+    rng = jax.random.PRNGKey(0)
+    poses = jnp.zeros((2, 16, 12))
+    params = net.init(rng, poses)
+    recon, mu, logvar = net.apply(params, poses)
+    assert recon.shape == (2, 16, 12)
+    assert mu.shape == (2, 8) and logvar.shape == (2, 8)
+    z = net.apply(params, poses, method=EmbeddingNet.encode)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(mu))
+
+
+def test_grad_accumulation_trainer():
+    import optax
+
+    from mmgt_tpu.training.stage2 import Stage2Trainer
+    from tests.test_training import _tiny_pipeline
+
+    tr = Stage2Trainer(_tiny_pipeline(), gradient_accumulation_steps=4)
+    assert isinstance(tr.tx, optax.GradientTransformation) or hasattr(
+        tr.tx, "update"
+    )
