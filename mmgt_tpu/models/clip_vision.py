@@ -32,11 +32,13 @@ def clip_preprocess(image01: jnp.ndarray, size: int = 224) -> jnp.ndarray:
 
 class CLIPLayer(nn.Module):
     heads: int
+    mlp_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
+        mlp = self.mlp_dim or 4 * d
         hd = d // self.heads
         h = LayerNorm(name="ln1")(x)
         q = nn.Dense(d, dtype=self.dtype, name="q_proj")(h)
@@ -50,7 +52,7 @@ class CLIPLayer(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, l, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="out_proj")(o)
         h = LayerNorm(name="ln2")(x)
-        h = nn.Dense(4 * d, dtype=self.dtype, name="fc1")(h)
+        h = nn.Dense(mlp, dtype=self.dtype, name="fc1")(h)
         # CLIP uses quick_gelu: x * sigmoid(1.702 x)
         h = h * jax.nn.sigmoid(1.702 * h)
         return x + nn.Dense(d, dtype=self.dtype, name="fc2")(h)
@@ -65,6 +67,7 @@ class CLIPVisionModel(nn.Module):
     patch: int = 14
     image_size: int = 224
     proj_dim: int = 768
+    mlp_dim: Optional[int] = None  # default 4*hidden (ViT-L: 4096)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,7 +91,7 @@ class CLIPVisionModel(nn.Module):
         x = x + pos.astype(x.dtype)
         x = LayerNorm(name="pre_norm")(x)
         for i in range(self.num_layers):
-            x = CLIPLayer(self.heads, self.dtype, name=f"layer_{i}")(x)
+            x = CLIPLayer(self.heads, self.mlp_dim, self.dtype, name=f"layer_{i}")(x)
         pooled = LayerNorm(name="post_norm")(x[:, 0])
         out = nn.Dense(
             self.proj_dim, use_bias=False, dtype=self.dtype, name="visual_projection"

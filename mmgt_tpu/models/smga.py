@@ -128,7 +128,7 @@ class EncoderLayer(nn.Module):
         x = x + MHA(self.heads, self.dtype, name="self_attn")(qk, qk, h)
         h = LayerNorm(name="norm2")(x)
         h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(nn.gelu(h))
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(nn.gelu(h, approximate=False))
         return x + h
 
 
@@ -158,7 +158,7 @@ class SplitDecoderLayer(nn.Module):
         merged = face + body
         h = LayerNorm(name="norm_final")(merged)
         h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
-        h = nn.Dense(merged.shape[-1], dtype=self.dtype, name="linear2")(nn.gelu(h))
+        h = nn.Dense(merged.shape[-1], dtype=self.dtype, name="linear2")(nn.gelu(h, approximate=False))
         return merged + film(h, DenseFiLM(self.dtype, name="film_final")(t_cond))
 
 

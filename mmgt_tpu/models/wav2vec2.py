@@ -56,7 +56,7 @@ class ConvFeatureExtractor(nn.Module):
                 x = group_norm(x, d, scale, bias, eps=1e-5)
             elif self.norm_mode == "layer":
                 x = LayerNorm(name=f"ln_{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         return x
 
 
@@ -93,11 +93,11 @@ class TransformerLayer(nn.Module):
             x = x + self._attn(LayerNorm(name="attn_norm")(x), attn_bias)
             h = LayerNorm(name="ff_norm")(x)
             h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff_in")(h)
-            x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(nn.gelu(h))
+            x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(nn.gelu(h, approximate=False))
         else:
             x = LayerNorm(name="attn_norm")(x + self._attn(x, attn_bias))
             h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff_in")(x)
-            h = nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(nn.gelu(h))
+            h = nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(nn.gelu(h, approximate=False))
             x = LayerNorm(name="ff_norm")(x + h)
         return x
 
@@ -115,7 +115,7 @@ class ConvPositionalEmbedding(nn.Module):
             feature_group_count=self.groups, dtype=self.dtype, name="conv",
         )(x)
         h = h[:, : x.shape[1], :]  # even kernel -> drop trailing element
-        return nn.gelu(h)
+        return nn.gelu(h, approximate=False)
 
 
 class Wav2Vec2Model(nn.Module):

@@ -107,18 +107,21 @@ class WavLMLayer(nn.Module):
     heads: int
     ff_dim: int
     has_rel_embed: bool
+    num_buckets: int = 320
+    max_distance: int = 800
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, position_bias=None):
         # pre-norm (layer_norm_first=True for Large)
         h, position_bias = GatedRelPosAttention(
-            self.heads, self.has_rel_embed, dtype=self.dtype, name="attn"
+            self.heads, self.has_rel_embed, self.num_buckets,
+            self.max_distance, dtype=self.dtype, name="attn"
         )(LayerNorm(name="attn_norm")(x), position_bias)
         x = x + h
         h = LayerNorm(name="ff_norm")(x)
         h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff_in")(h)
-        x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(nn.gelu(h))
+        x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(nn.gelu(h, approximate=False))
         return x, position_bias
 
 
@@ -127,6 +130,8 @@ class WavLMModel(nn.Module):
     num_layers: int = 24
     heads: int = 16
     ff_dim: int = 4096
+    num_buckets: int = 320
+    max_distance: int = 800
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -142,6 +147,7 @@ class WavLMModel(nn.Module):
         pos_bias = None
         for i in range(self.num_layers):
             h, pos_bias = WavLMLayer(
-                self.heads, self.ff_dim, i == 0, self.dtype, name=f"layer_{i}"
+                self.heads, self.ff_dim, i == 0, self.num_buckets,
+                self.max_distance, self.dtype, name=f"layer_{i}"
             )(h, pos_bias)
         return LayerNorm(name="final_norm")(h)

@@ -114,7 +114,7 @@ class FeedForward(nn.Module):
         inner = dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_geglu")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
