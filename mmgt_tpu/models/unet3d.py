@@ -59,6 +59,9 @@ class DenoisingUNet3D(nn.Module):
     use_audio_module: bool = True
     use_motion_module: bool = True
     motion_max_len: int = 32
+    # activation checkpointing for training memory (the reference's
+    # enable_gradient_checkpointing, unet_3d_blocks.py:539-581)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +79,14 @@ class DenoisingUNet3D(nn.Module):
         bank_gate: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, f, hh, ww, cin = latents.shape
+        if self.remat:
+            import functools as _ft
+
+            RB = nn.remat(ResnetBlock, static_argnums=())
+            ST = nn.remat(SpatialTransformerRef, static_argnums=(4,))
+            MM = nn.remat(MotionModule, static_argnums=(2,))
+        else:
+            RB, ST, MM = ResnetBlock, SpatialTransformerRef, MotionModule
         if banks is not None and bank_gate is None:
             # first n_uncond batch rows (CFG uncond half) ignore the bank
             bank_gate = (jnp.arange(b) >= n_uncond).astype(jnp.int32)
@@ -119,11 +130,11 @@ class DenoisingUNet3D(nn.Module):
             has_attn = bi < n_blocks - 1
             for li in range(self.layers_per_block):
                 layer_in_ch = in_ch if li == 0 else out_ch
-                x = ResnetBlock(out_ch, dtype=self.dtype, name=f"down_{bi}_res_{li}")(
+                x = RB(out_ch, dtype=self.dtype, name=f"down_{bi}_res_{li}")(
                     x, temb_f
                 )
                 if has_attn:
-                    x = SpatialTransformerRef(
+                    x = ST(
                         self.heads,
                         out_ch // self.heads,
                         self.dtype,
@@ -137,7 +148,7 @@ class DenoisingUNet3D(nn.Module):
                             name=f"down_{bi}_audio_{li}",
                         )(x, audio_ctx, level_masks(bi), motion_scale)
                 if self.use_motion_module:
-                    x = MotionModule(
+                    x = MM(
                         self.heads,
                         self.motion_max_len,
                         self.dtype,
@@ -149,15 +160,15 @@ class DenoisingUNet3D(nn.Module):
                 res_stack.append(x)
 
         # ----------------------------------------------------------- mid
-        x = ResnetBlock(chans[-1], dtype=self.dtype, name="mid_res_0")(x, temb_f)
-        x = SpatialTransformerRef(
+        x = RB(chans[-1], dtype=self.dtype, name="mid_res_0")(x, temb_f)
+        x = ST(
             self.heads, chans[-1] // self.heads, self.dtype, name="mid_attn"
         )(x, context, next_bank(), f, bank_gate)
         if self.use_motion_module:
-            x = MotionModule(
+            x = MM(
                 self.heads, self.motion_max_len, self.dtype, name="mid_motion"
             )(x, f)
-        x = ResnetBlock(chans[-1], dtype=self.dtype, name="mid_res_1")(x, temb_f)
+        x = RB(chans[-1], dtype=self.dtype, name="mid_res_1")(x, temb_f)
 
         # ------------------------------------------------------------ up
         rev = list(reversed(chans))
@@ -167,18 +178,18 @@ class DenoisingUNet3D(nn.Module):
             for li in range(self.layers_per_block + 1):
                 skip = res_stack.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock(out_ch, dtype=self.dtype, name=f"up_{bi}_res_{li}")(
+                x = RB(out_ch, dtype=self.dtype, name=f"up_{bi}_res_{li}")(
                     x, temb_f
                 )
                 if has_attn:
-                    x = SpatialTransformerRef(
+                    x = ST(
                         self.heads,
                         out_ch // self.heads,
                         self.dtype,
                         name=f"up_{bi}_attn_{li}",
                     )(x, context, next_bank(), f, bank_gate)
                 if self.use_motion_module:
-                    x = MotionModule(
+                    x = MM(
                         self.heads,
                         self.motion_max_len,
                         self.dtype,

@@ -101,3 +101,47 @@ def test_grad_accumulation_trainer():
     assert isinstance(tr.tx, optax.GradientTransformation) or hasattr(
         tr.tx, "update"
     )
+
+
+def test_slerp_interpolation():
+    from mmgt_tpu.pipelines.interp import interpolate_latents, slerp
+
+    a = jnp.ones((2, 2, 2))
+    b = 3.0 * jnp.ones((2, 2, 2))
+    mid = slerp(a, b, 0.5)  # parallel -> lerp
+    np.testing.assert_allclose(np.asarray(mid), 2.0, rtol=1e-5)
+    lat = jnp.stack([a, b])
+    out = interpolate_latents(lat, 2)
+    assert out.shape == (3, 2, 2, 2)
+    np.testing.assert_allclose(np.asarray(out[1]), 2.0, rtol=1e-5)
+    # orthogonal vectors: slerp stays on the arc (non-lerp path)
+    v0 = jnp.asarray([1.0, 0.0])
+    v1 = jnp.asarray([0.0, 1.0])
+    m = slerp(v0, v1, 0.5)
+    np.testing.assert_allclose(np.asarray(m), [0.7071, 0.7071], atol=1e-3)
+
+
+@pytest.mark.slow
+def test_unet3d_remat_matches():
+    from mmgt_tpu.models.unet3d import DenoisingUNet3D
+
+    tiny = dict(block_out_channels=(16, 32, 32, 32), heads=4)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 2, 8, 8, 4)), jnp.float32
+    )
+    ctx = jnp.zeros((1, 1, 768))
+    t = jnp.zeros((1,), jnp.int32)
+    m0 = DenoisingUNet3D(**tiny)
+    m1 = DenoisingUNet3D(remat=True, **tiny)
+    params = m0.init(rng, lat, t, ctx, None, None, None, None)
+    o0 = m0.apply(params, lat, t, ctx, None, None, None, None)
+    o1 = m1.apply(params, lat, t, ctx, None, None, None, None)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+    # grads flow through the remat path
+    g = jax.grad(
+        lambda p: jnp.sum(m1.apply(p, lat, t, ctx, None, None, None, None) ** 2)
+    )(params)
+    assert np.isfinite(
+        float(jnp.sum(jnp.abs(jax.tree.leaves(g)[0])))
+    )
