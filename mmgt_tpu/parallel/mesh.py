@@ -34,11 +34,27 @@ def create_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"create_mesh: asked for n_devices={n_devices} but only "
+                f"{len(devices)} jax device(s) are visible on backend "
+                f"'{jax.default_backend()}'. For a virtual multi-device CPU "
+                "mesh, provision devices BEFORE any jax computation runs: "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                'jax.config.update("jax_platforms", "cpu") (see '
+                "tests/conftest.py), or use __graft_entry__."
+                "_provision_cpu_devices."
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if dp is None:
         dp = n // tp
-    assert dp * tp == n, (dp, tp, n)
+    if dp < 1 or dp * tp != n:
+        raise ValueError(
+            f"create_mesh: dp*tp must equal the device count, got dp={dp} "
+            f"tp={tp} over {n} device(s). Pick tp dividing {n} (dp is then "
+            f"inferred as {n}//tp) or pass dp explicitly."
+        )
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 

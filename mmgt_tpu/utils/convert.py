@@ -290,6 +290,76 @@ def map_wavlm(key: str) -> str:
     raise KeyError(key)
 
 
+def split_packed_qkv(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Split torch nn.MultiheadAttention packed in_proj_weight/bias into
+    synthetic {base}.q_proj/.k_proj/.v_proj keys so mappers can address the
+    three projections independently (rows [0:d], [d:2d], [2d:3d])."""
+    out = dict(sd)
+    for k in list(sd):
+        m = re.match(r"(.*)\.in_proj_(weight|bias)$", k)
+        if not m:
+            continue
+        base, kind = m.groups()
+        a = sd[k]
+        d = a.shape[0] // 3
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            out[f"{base}.{name}.{kind}"] = a[i * d : (i + 1) * d]
+        del out[k]
+    return out
+
+
+def load_smga_state_dict(path: str, ema: bool = True) -> Dict[str, np.ndarray]:
+    """Load a reference Stage-1 checkpoint (SMGA.py:305-313: dict with
+    ema_state_dict/model_state_dict/optimizer_state_dict/normalizer) and
+    return the GestureDecoder state dict with packed qkv pre-split."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and ("ema_state_dict" in ckpt or "model_state_dict" in ckpt):
+        key = "ema_state_dict" if ema and "ema_state_dict" in ckpt else "model_state_dict"
+        ckpt = ckpt[key]
+    sd = {
+        k.replace("module.", "", 1) if k.startswith("module.") else k: v.numpy()
+        for k, v in ckpt.items()
+        if hasattr(v, "numpy")
+    }
+    return split_packed_qkv(sd)
+
+
+def map_smga(key: str) -> str:
+    """our GestureDecoder (models/smga.py) -> reference Stage-1 checkpoint
+    keys (src/audio2pose_model/model.py:324-490), after split_packed_qkv.
+
+    The reference module declares several params its forward never uses
+    (per-layer merged `self_attn`, `norm_face_3/norm_body_3`,
+    `film_face_3/film_body_3`) — those stay unmapped and show up only in
+    report["unexpected"].
+    """
+    if key in ("null_cond_embed", "null_cond_hidden"):
+        return key
+    path, leaf = _leaf(key)
+    s = path
+    # sequential-wrapped singles
+    s = re.sub(r"^time_mlp$", "time_mlp.1", s)
+    s = re.sub(r"^to_time_cond$", "to_time_cond.0", s)
+    s = re.sub(r"^to_time_tokens$", "to_time_tokens.0", s)
+    s = re.sub(r"^non_attn_norm$", "non_attn_cond_projection.0", s)
+    s = re.sub(r"^non_attn_proj1$", "non_attn_cond_projection.1", s)
+    s = re.sub(r"^non_attn_proj2$", "non_attn_cond_projection.3", s)
+    # audio cond encoder layers
+    s = re.sub(r"^cond_encoder_(\d+)", r"cond_encoder.\1", s)
+    # split face/body decoder layers
+    s = re.sub(r"^decoder_(\d+)", r"seqTransDecoder.stack.\1", s)
+    # attention: our to_q/to_k/to_v/to_out -> synthetic q_proj/... + out_proj
+    s = re.sub(r"(self_attn|cross_attn)/to_q$", r"\1.q_proj", s)
+    s = re.sub(r"(self_attn|cross_attn)/to_k$", r"\1.k_proj", s)
+    s = re.sub(r"(self_attn|cross_attn)/to_v$", r"\1.v_proj", s)
+    s = re.sub(r"(self_attn|cross_attn)/to_out$", r"\1.out_proj", s)
+    # FiLM generators: our film_x/proj -> block.1 (Sequential[Mish, Linear])
+    s = re.sub(r"(film_\w+)/proj$", r"\1.block.1", s)
+    return f"{s.replace('/', '.')}.{leaf}"
+
+
 MAPPERS: Dict[str, Callable[[str], str]] = {
     "unet2d": map_unet2d,
     "unet3d": lambda k: map_unet3d(k),
@@ -299,6 +369,7 @@ MAPPERS: Dict[str, Callable[[str], str]] = {
     "clip_vision": map_clip_vision,
     "wav2vec2": map_wav2vec2,
     "wavlm": map_wavlm,
+    "smga": map_smga,
 }
 
 
@@ -307,31 +378,48 @@ def convert(
     target_tree: Any,
     state_dicts: Sequence[Dict[str, np.ndarray]],
     mapper: Callable[[str], str],
-    strict: bool = True,
+    missing_ok: Sequence[str] = (),
 ) -> Tuple[Any, Dict[str, List[str]]]:
     """Fill a param tree (shapes from eval_shape or a real tree) from torch
-    state dicts (later dicts win). Returns (tree, report)."""
+    state dicts (later dicts win). Returns (tree, report).
+
+    Missing params fail loudly (KeyError) unless their flat key matches one
+    of the `missing_ok` regexes — an explicit allowlist for modules the
+    checkpoint legitimately lacks (e.g. motion/audio modules when loading a
+    bare SD1.5 UNet, reference unet_3d.py:627-718). Allowed-missing keys
+    keep the target tree's existing value (its real init) when the tree
+    holds arrays; eval_shape trees (no values) get zeros. Both are listed
+    in report["missing"] so callers can warn.
+    """
     merged: Dict[str, np.ndarray] = {}
     for sd in state_dicts:
         merged.update(sd)
+    ok_res = [re.compile(p) for p in missing_ok]
     flat = traverse_util.flatten_dict(target_tree, sep="/")
     out = {}
-    missing, used = [], set()
+    missing, refused, used = [], [], set()
     for our_key, leaf in flat.items():
         tk = mapper(our_key.replace("params/", "", 1) if our_key.startswith("params/") else our_key)
         if tk not in merged:
-            missing.append(f"{our_key} <- {tk}")
-            out[our_key] = (
-                np.zeros(leaf.shape, leaf.dtype)
-                if hasattr(leaf, "shape")
-                else leaf
-            )
+            if any(r.search(our_key) for r in ok_res):
+                missing.append(f"{our_key} <- {tk}")
+                out[our_key] = (
+                    leaf
+                    if hasattr(leaf, "__array__") or hasattr(leaf, "device")
+                    else np.zeros(leaf.shape, leaf.dtype)
+                )
+            else:
+                refused.append(f"{our_key} <- {tk}")
             continue
         used.add(tk)
         out[our_key] = to_flax_tensor(our_key, leaf.shape, merged[tk])
+    if refused:
+        raise KeyError(
+            f"{len(refused)} params missing from checkpoint and not covered "
+            f"by missing_ok, e.g. {refused[:5]}. Pass missing_ok=[regex,...] "
+            "only for modules the checkpoint legitimately lacks."
+        )
     unexpected = [k for k in merged if k not in used]
     report = {"missing": missing, "unexpected": unexpected}
-    if strict and missing:
-        raise KeyError(f"missing {len(missing)} params, e.g. {missing[:5]}")
     tree = traverse_util.unflatten_dict(out, sep="/")
     return tree, report

@@ -60,7 +60,7 @@ def test_wav2vec2_matches_hf():
     tree = jax.eval_shape(
         lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)), t_out)
     )
-    params, report = cv.convert(tree, [sd], cv.map_wav2vec2, strict=True)
+    params, report = cv.convert(tree, [sd], cv.map_wav2vec2)
     out = ours.apply(
         jax.tree.map(jnp.asarray, params), jnp.asarray(wav)[None], t_out
     )  # (1, T, 2, 32): per-layer stack
@@ -101,7 +101,7 @@ def test_clip_vision_matches_hf():
     tree = jax.eval_shape(
         lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     )
-    params, report = cv.convert(tree, [sd], cv.map_clip_vision, strict=True)
+    params, report = cv.convert(tree, [sd], cv.map_clip_vision)
     out = ours.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(img))
     with torch.no_grad():
         ref = hf(torch.from_numpy(img).permute(0, 3, 1, 2)).image_embeds
@@ -190,7 +190,7 @@ def test_wavlm_matches_hf():
 
     from mmgt_tpu.utils.convert import convert, map_wavlm
 
-    params, report = convert(tree, [sd], map_wavlm, strict=False)
+    params, report = convert(tree, [sd], map_wavlm)
     assert not report["missing"], report["missing"][:5]
     out = ours.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(wav)[None])
     with torch.no_grad():

@@ -64,7 +64,7 @@ def main():
             lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
         )
         sd = cv.load_torch_state_dict(args.wavlm_ckpt)
-        params, report = cv.convert(tree, [sd], cv.map_wavlm, strict=False)
+        params, report = cv.convert(tree, [sd], cv.map_wavlm)
         if report["missing"]:
             print(f"[warn] wavlm: {len(report['missing'])} missing", file=sys.stderr)
         wavlm_ext = WavLMFeatureExtractor(model, jax.tree.map(jnp.asarray, params))
