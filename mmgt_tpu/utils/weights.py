@@ -119,11 +119,18 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
         lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params
     )
 
-    smga_ckpt = _find(root, "smga*.pt*", "a2p*.pt*")
-    smga_state = smga.init_state(rng, 1)
+    smga_ckpt = _find(root, "smga*.pt*", "a2p*.pt*", "train-*.pt")
+    smga_params = smga.init_state(rng, 1).ema_params
     if smga_ckpt is not None:
-        _warn(f"smga: torch-ckpt conversion from {smga_ckpt} (best effort)")
-    out["smga"] = smga_state.ema_params
+        try:
+            sd = cv.load_smga_state_dict(str(smga_ckpt), ema=True)
+            smga_params, report = cv.convert(smga_params, [sd], cv.map_smga)
+            _warn(f"smga: loaded {smga_ckpt}")
+        except Exception as e:  # noqa: BLE001 - best-effort loader
+            _warn(f"smga: failed to convert {smga_ckpt}: {e}; random init")
+    else:
+        _warn("smga: no checkpoint found, keeping random init")
+    out["smga"] = jax.tree.map(jnp.asarray, smga_params)
 
     clip_ckpt = _find(root, "image_encoder/model.*", "image_encoder/pytorch_model.*")
     if clip_ckpt is not None:

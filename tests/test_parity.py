@@ -200,3 +200,114 @@ def test_wavlm_matches_hf():
     np.testing.assert_allclose(
         np.asarray(out[0]), ref[0].numpy(), atol=5e-4, rtol=2e-3
     )
+
+
+# --------------------------------------------------------------------------
+# Stage-1 SMGA vs the reference torch implementation (/root/reference/src is
+# importable with the in-image torch — no external assets needed).
+def _ref_src_path():
+    import sys
+
+    p = "/root/reference/src"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+@pytest.mark.slow
+def test_smga_decoder_matches_reference():
+    """GestureDecoder forward (cond kept AND dropped) matches the reference
+    torch module through the map_smga converter (model.py:324-490)."""
+    _ref_src_path()
+    ref = pytest.importorskip("audio2pose_model.model")
+    from mmgt_tpu.models.smga import GestureDecoder
+
+    T, d = 16, 64
+    tm = ref.GestureDecoder(
+        nfeats=402, seq_len=T, latent_dim=d, ff_size=128, num_layers=2,
+        num_heads=4, dropout=0.0, cond_feature_dim=35,
+    ).eval()
+    sd = cv.split_packed_qkv(
+        {k: v.numpy() for k, v in tm.state_dict().items()}
+    )
+
+    ours = GestureDecoder(seq_len=T, latent_dim=d, ff_size=128, num_layers=2,
+                          num_heads=4, cond_feature_dim=35)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, T, 402)).astype(np.float32)
+    cf = rng.standard_normal((2, 402)).astype(np.float32)
+    cond = rng.standard_normal((2, T, 35)).astype(np.float32)
+    t = np.array([7, 531], np.int64)
+
+    tree = jax.eval_shape(
+        lambda: ours.init(
+            jax.random.PRNGKey(0), jnp.zeros_like(x), jnp.zeros_like(cf),
+            jnp.zeros_like(cond), jnp.zeros((2,), jnp.int32),
+        )
+    )
+    params, report = cv.convert(tree, [sd], cv.map_smga)
+    assert not report["missing"], report["missing"][:5]
+    # only the reference's declared-but-unused params may be unexpected
+    for k in report["unexpected"]:
+        assert (
+            "rotary.freqs" in k
+            or ".self_attn." in k.replace("face_", "").replace("body_", "")
+            or "_3." in k
+        ), k
+    params = jax.tree.map(jnp.asarray, params)
+
+    for drop_prob, keep in ((0.0, True), (1.0, False)):
+        with torch.no_grad():
+            want = tm(
+                torch.from_numpy(x), torch.from_numpy(cf),
+                torch.from_numpy(cond), torch.from_numpy(t),
+                cond_drop_prob=drop_prob,
+            ).numpy()
+        got = ours.apply(
+            params, jnp.asarray(x), jnp.asarray(cf), jnp.asarray(cond),
+            jnp.asarray(t, jnp.int32), jnp.full((2,), keep, bool),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=2e-4, rtol=1e-3,
+            err_msg=f"cond_drop_prob={drop_prob}",
+        )
+
+
+@pytest.mark.slow
+def test_gesture_diffusion_tables_match_reference():
+    """Cosine DDPM buffers match the reference GestureDiffusion exactly
+    (src/audio2pose_model/diffusion.py:63-126)."""
+    _ref_src_path()
+    import sys
+    import types
+
+    if "p_tqdm" not in sys.modules:  # not installed; only p_map is imported
+        fake = types.ModuleType("p_tqdm")
+        fake.p_map = lambda fn, *it, **kw: list(map(fn, *it))
+        sys.modules["p_tqdm"] = fake
+    ref_diff = pytest.importorskip("audio2pose_model.diffusion")
+    import torch.nn as tnn
+
+    from mmgt_tpu.diffusion.gesture import GestureDiffusionSchedule
+
+    gd = ref_diff.GestureDiffusion(
+        tnn.Linear(1, 1), horizon=80, repr_dim=402, schedule="cosine",
+        n_timestep=1000, predict_epsilon=False, loss_type="l2", use_p2=False,
+        cond_drop_prob=0.25, guidance_weight=2,
+    )
+    ours = GestureDiffusionSchedule()
+    for name in (
+        "betas", "alphas_cumprod", "alphas_cumprod_prev",
+        "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+        "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+        "posterior_variance", "posterior_log_variance_clipped",
+        "posterior_mean_coef1", "posterior_mean_coef2",
+    ):
+        # reference computes buffers in f32, ours in f64-then-cast; f32
+        # cancellation in (1 - alphas_cumprod) near t=0 costs ~5e-4 relative
+        # there (e.g. posterior_mean_coef1[0]: exact 1.0 vs f32 0.999472) —
+        # ours is the more accurate of the two.
+        np.testing.assert_allclose(
+            np.asarray(getattr(ours.tables, name)),
+            getattr(gd, name).numpy(),
+            atol=1e-5, rtol=1e-3, err_msg=name,
+        )
