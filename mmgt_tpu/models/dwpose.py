@@ -181,15 +181,22 @@ class YOLOXL(nn.Module):
 
 # --------------------------------------------------------------- RTMPose
 class CSPNeXtBlock(nn.Module):
+    """mmpose CSPNeXtBlock: 3x3 conv to out//2, then a depthwise-separable
+    5x5 (depthwise + pointwise ConvModules, each with its own BN+SiLU)."""
+
     out: int
+    add_identity: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = ConvBnAct(self.out, 3, dtype=self.dtype, name="conv1")(x)
-        h = ConvBnAct(self.out, 5, groups=self.out, dtype=self.dtype,
-                      name="dwconv")(h)
-        return x + h if x.shape[-1] == self.out else h
+        hidden = self.out // 2
+        h = ConvBnAct(hidden, 3, dtype=self.dtype, name="conv1")(x)
+        h = ConvBnAct(hidden, 5, groups=hidden, dtype=self.dtype, name="dw")(h)
+        h = ConvBnAct(self.out, 1, dtype=self.dtype, name="pw")(h)
+        if self.add_identity and x.shape[-1] == self.out:
+            return x + h
+        return h
 
 
 class ChannelAttention(nn.Module):
@@ -206,6 +213,7 @@ class ChannelAttention(nn.Module):
 class CSPNeXtLayer(nn.Module):
     out: int
     n: int
+    add_identity: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -214,42 +222,84 @@ class CSPNeXtLayer(nn.Module):
         a = ConvBnAct(mid, 1, dtype=self.dtype, name="main")(x)
         b = ConvBnAct(mid, 1, dtype=self.dtype, name="short")(x)
         for i in range(self.n):
-            a = CSPNeXtBlock(mid, self.dtype, name=f"block_{i}")(a)
+            a = CSPNeXtBlock(mid, self.add_identity, self.dtype,
+                             name=f"block_{i}")(a)
         h = jnp.concatenate([a, b], -1)
         h = ChannelAttention(self.dtype, name="attn")(h)
         return ConvBnAct(self.out, 1, dtype=self.dtype, name="final")(h)
 
 
+class ScaleNorm(nn.Module):
+    """x / (||x|| * d**-0.5) * g — RTMCC head norm (mmpose ScaleNorm)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (1,), jnp.float32)
+        scale = x.shape[-1] ** -0.5
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) * scale
+        return x / jnp.maximum(norm, self.eps) * g
+
+
+def _rope_half(x: jnp.ndarray) -> jnp.ndarray:
+    """Half-split rotary over the token axis (mmpose rtmcc_block.rope)."""
+    n, d = x.shape[-3], x.shape[-1]
+    half = d // 2
+    freqs = 10000.0 ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = jnp.arange(n, dtype=jnp.float32)[:, None] * freqs[None]
+    sin = jnp.sin(ang)[:, None, :].astype(x.dtype)
+    cos = jnp.cos(ang)[:, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
 class GAU(nn.Module):
-    """Gated attention unit (RTMCC head)."""
+    """Gated attention unit, self-attention mode (mmpose RTMCCBlock).
+
+    SiLU on the whole uv projection before splitting, q/k from a shared
+    base via per-head gamma/beta, relu^2 kernel scaled by sqrt(s), learned
+    scalar residual scale. RTMPose configs ship pos_enc=False (no rope).
+    """
 
     hidden: int = 256
     expansion: int = 2
     s: int = 128
+    pos_enc: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         # x: (B, K, hidden)
         e = self.hidden * self.expansion
-        h = LayerNorm(name="norm")(x)
-        uv = nn.Dense(2 * e + self.s, dtype=self.dtype, name="uv")(h)
+        h = ScaleNorm(name="ln")(x)
+        uv = nn.Dense(2 * e + self.s, use_bias=False, dtype=self.dtype,
+                      name="uv")(h)
+        uv = nn.silu(uv)
         u, v, base = jnp.split(uv, [e, 2 * e], axis=-1)
-        u, v = nn.silu(u), nn.silu(v)
-        base = nn.silu(base)
-        gamma = self.param("gamma", nn.initializers.ones, (2, self.s))
+        gamma = self.param("gamma", nn.initializers.normal(1.0), (2, self.s))
         beta = self.param("beta", nn.initializers.zeros, (2, self.s))
-        q = base * gamma[0] + beta[0]
-        k = base * gamma[1] + beta[1]
-        attn = jnp.einsum("bnd,bmd->bnm", q, k) / x.shape[1]
+        qk = base[..., None, :] * gamma + beta        # (B, K, 2, s)
+        if self.pos_enc:
+            qk = _rope_half(qk)
+        q, k = qk[..., 0, :], qk[..., 1, :]
+        attn = jnp.einsum("bnd,bmd->bnm", q, k) / (self.s**0.5)
         attn = jnp.square(nn.relu(attn))
         o = u * jnp.einsum("bnm,bme->bne", attn, v)
-        return x + nn.Dense(self.hidden, dtype=self.dtype, name="out")(o)
+        o = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype,
+                     name="out")(o)
+        res_scale = self.param("res_scale", nn.initializers.ones, (1,),
+                               jnp.float32)
+        return x * res_scale + o
 
 
 class RTMPose(nn.Module):
     """DW-LL whole-body: (B, 384, 288, 3) normalized crops ->
-    (simcc_x (B, 133, 576), simcc_y (B, 133, 768))."""
+    (simcc_x (B, 133, 576), simcc_y (B, 133, 768)).
+
+    CSPNeXt-L backbone (arch P5: stages 128/3, 256/6, 512/6, 1024/3; the
+    last stage has no block identity and inserts an SPP) + RTMCC/GAU head.
+    """
 
     num_keypoints: int = 133
     input_wh: Tuple[int, int] = (288, 384)
@@ -263,18 +313,23 @@ class RTMPose(nn.Module):
         h = ConvBnAct(32, 3, 2, dtype=self.dtype, name="stem0")(x)
         h = ConvBnAct(32, 3, dtype=self.dtype, name="stem1")(h)
         h = ConvBnAct(64, 3, dtype=self.dtype, name="stem2")(h)
-        for i, (ch, n) in enumerate(((128, 3), (256, 6), (512, 6), (1024, 3))):
+        stages = ((128, 3, True, False), (256, 6, True, False),
+                  (512, 6, True, False), (1024, 3, False, True))
+        for i, (ch, n, ident, spp) in enumerate(stages):
             h = ConvBnAct(ch, 3, 2, dtype=self.dtype, name=f"stage{i}_down")(h)
-            h = CSPNeXtLayer(ch, n, self.dtype, name=f"stage{i}_csp")(h)
+            if spp:
+                h = SPPBottleneck(ch, self.dtype, name=f"stage{i}_spp")(h)
+            h = CSPNeXtLayer(ch, n, ident, self.dtype, name=f"stage{i}_csp")(h)
 
-        # RTMCC head: 7x7 conv to K channels, flatten spatial, GAU, SimCC fcs
+        # RTMCC head: 7x7 conv to K channels, flatten spatial, ScaleNorm+fc,
+        # GAU, SimCC fcs
         h = nn.Conv(self.num_keypoints, (7, 7), dtype=self.dtype,
                     name="final_layer")(h)
         b, hh, ww, k = h.shape
         tokens = h.transpose(0, 3, 1, 2).reshape(b, k, hh * ww)
+        tokens = ScaleNorm(name="mlp_norm")(tokens)
         tokens = nn.Dense(self.gau_hidden, use_bias=False, dtype=self.dtype,
                           name="mlp")(tokens)
-        tokens = LayerNorm(name="mlp_norm")(tokens)
         tokens = GAU(self.gau_hidden, dtype=self.dtype, name="gau")(tokens)
         wx = int(self.input_wh[0] * self.split_ratio)
         wy = int(self.input_wh[1] * self.split_ratio)

@@ -57,6 +57,8 @@ def to_flax_tensor(our_key: str, shape, torch_arr: np.ndarray) -> np.ndarray:
         # dense <- 1x1 conv stored as (O,I,1,1)
         if torch_arr.ndim == 4 and torch_arr.shape[2:] == (1, 1):
             a = torch_arr[:, :, 0, 0].T
+    if a.shape != tuple(shape) and a.size == int(np.prod(shape)):
+        a = a.reshape(shape)  # e.g. scalar () <-> (1,) params
     assert a.shape == tuple(shape), (our_key, a.shape, tuple(shape))
     return np.asarray(a)
 
@@ -360,6 +362,96 @@ def map_smga(key: str) -> str:
     return f"{s.replace('/', '.')}.{leaf}"
 
 
+# ------------------------------------------------------- DWPose (ONNX nets)
+def _dwpose_leaf(key: str) -> Tuple[str, str]:
+    """Split key into (path, torch leaf) with BatchNorm-stat awareness.
+
+    flax ConvBnAct stores conv/kernel + bn/{scale,bias} in params and
+    bn/{mean,var} in batch_stats — torch ConvModule uses .conv.weight,
+    .bn.{weight,bias,running_mean,running_var}."""
+    key = key.replace("batch_stats/", "", 1) if key.startswith("batch_stats/") else key
+    path, leaf = key.rsplit("/", 1) if "/" in key else ("", key)
+    leaf = {
+        "kernel": "weight", "scale": "weight",
+        "mean": "running_mean", "var": "running_var",
+    }.get(leaf, leaf)
+    return path, leaf
+
+
+def _map_csp_inner(s: str) -> str:
+    """CSPLayer/CSPNeXt internals: our names -> mmdet/mmpose names."""
+    s = re.sub(r"/main(/|$)", r"/main_conv\1", s)
+    s = re.sub(r"/short(/|$)", r"/short_conv\1", s)
+    s = re.sub(r"/final(/|$)", r"/final_conv\1", s)
+    s = re.sub(r"/block_(\d+)", r"/blocks.\1", s)
+    s = re.sub(r"/attn/fc", "/attention.fc", s)
+    s = re.sub(r"/dw(/|$)", r"/conv2.depthwise_conv\1", s)
+    s = re.sub(r"/pw(/|$)", r"/conv2.pointwise_conv\1", s)
+    return s
+
+
+def map_yolox(key: str) -> str:
+    """our YOLOXL (models/dwpose.py) -> mmdet YOLOX state-dict keys, the
+    naming the reference's yolox_l.onnx initializers carry (mmdeploy export
+    of mmdet YOLOX-L; reference runs it via onnxruntime,
+    src/dwpose/wholebody.py:14-27)."""
+    path, leaf = _dwpose_leaf(key)
+    s = "/" + path
+    # backbone: our dark{n}_* -> mmdet stage{n-1}.{idx}
+    s = re.sub(r"/backbone/stem/conv", "/backbone.stem.conv", s)
+    for n in (2, 3, 4):
+        s = s.replace(f"/backbone/dark{n}_conv", f"/backbone.stage{n - 1}.0")
+        s = s.replace(f"/backbone/dark{n}_csp", f"/backbone.stage{n - 1}.1")
+    s = s.replace("/backbone/dark5_conv", "/backbone.stage4.0")
+    s = s.replace("/backbone/dark5_spp", "/backbone.stage4.1")
+    s = s.replace("/backbone/dark5_csp", "/backbone.stage4.2")
+    # PAFPN neck
+    s = s.replace("/lateral5", "/neck.reduce_layers.0")
+    s = s.replace("/lateral4", "/neck.reduce_layers.1")
+    s = s.replace("/fpn_c4", "/neck.top_down_blocks.0")
+    s = s.replace("/fpn_c3", "/neck.top_down_blocks.1")
+    s = s.replace("/down3", "/neck.downsamples.0")
+    s = s.replace("/down4", "/neck.downsamples.1")
+    s = s.replace("/pan_c4", "/neck.bottom_up_blocks.0")
+    s = s.replace("/pan_c5", "/neck.bottom_up_blocks.1")
+    s = re.sub(r"/head_stem_(\d+)", r"/neck.out_convs.\1", s)
+    # decoupled head
+    s = re.sub(r"/head_cls(\d)_(\d+)", r"/bbox_head.multi_level_cls_convs.\2.\1", s)
+    s = re.sub(r"/head_reg(\d)_(\d+)", r"/bbox_head.multi_level_reg_convs.\2.\1", s)
+    s = re.sub(r"/cls_pred_(\d+)", r"/bbox_head.multi_level_conv_cls.\1", s)
+    s = re.sub(r"/reg_pred_(\d+)", r"/bbox_head.multi_level_conv_reg.\1", s)
+    s = re.sub(r"/obj_pred_(\d+)", r"/bbox_head.multi_level_conv_obj.\1", s)
+    s = _map_csp_inner(s)
+    return f"{s[1:].replace('/', '.')}.{leaf}"
+
+
+def map_rtmpose(key: str) -> str:
+    """our RTMPose (models/dwpose.py) -> mmpose RTMPose-L state-dict keys,
+    the naming the reference's dw-ll_ucoco_384.onnx initializers carry."""
+    # bare params of the RTMCC head
+    if key.endswith("gau/gamma") or key.endswith("gau/beta"):
+        return f"head.gau.{key.rsplit('/', 1)[-1]}"
+    if key.endswith("gau/res_scale"):
+        return "head.gau.res_scale.scale"
+    path, leaf = _dwpose_leaf(key)
+    s = "/" + path
+    s = re.sub(r"/stem(\d)", r"/backbone.stem.\1", s)
+    s = re.sub(r"/stage(\d)_down", lambda m: f"/backbone.stage{int(m.group(1)) + 1}.0", s)
+    s = s.replace("/stage3_spp", "/backbone.stage4.1")
+    s = s.replace("/stage3_csp", "/backbone.stage4.2")
+    s = re.sub(r"/stage(\d)_csp", lambda m: f"/backbone.stage{int(m.group(1)) + 1}.1", s)
+    s = s.replace("/final_layer", "/head.final_layer")
+    s = s.replace("/mlp_norm", "/head.mlp.0")
+    s = s.replace("/mlp", "/head.mlp.1")  # mlp_norm already rewritten above
+    s = s.replace("/gau/ln", "/head.gau.ln")
+    s = s.replace("/gau/uv", "/head.gau.uv")
+    s = s.replace("/gau/out", "/head.gau.o")
+    s = s.replace("/cls_x", "/head.cls_x")
+    s = s.replace("/cls_y", "/head.cls_y")
+    s = _map_csp_inner(s)
+    return f"{s[1:].replace('/', '.')}.{leaf}"
+
+
 MAPPERS: Dict[str, Callable[[str], str]] = {
     "unet2d": map_unet2d,
     "unet3d": lambda k: map_unet3d(k),
@@ -370,7 +462,27 @@ MAPPERS: Dict[str, Callable[[str], str]] = {
     "wav2vec2": map_wav2vec2,
     "wavlm": map_wavlm,
     "smga": map_smga,
+    "yolox": map_yolox,
+    "rtmpose": map_rtmpose,
 }
+
+
+def load_dwpose_weights(onnx_path: str, target_tree: Any, which: str):
+    """Fill a YOLOXL/RTMPose param tree from a DWPose .onnx file.
+
+    Reads initializers with the built-in protobuf wire parser
+    (utils/onnx_reader.py), folds any explicit BatchNormalization nodes
+    into synthetic running-stat keys, and converts via map_yolox /
+    map_rtmpose. `which` is "yolox" or "rtmpose"."""
+    from mmgt_tpu.utils.onnx_reader import load_onnx
+
+    inits, _nodes = load_onnx(onnx_path)
+    # strip common exporter prefixes (mmdeploy wraps the model)
+    sd = {}
+    for k, v in inits.items():
+        k = re.sub(r"^(model|module)\.", "", k)
+        sd[k] = v
+    return convert(target_tree, [sd], MAPPERS[which])
 
 
 # ----------------------------------------------------------------- convert
