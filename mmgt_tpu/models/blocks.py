@@ -169,10 +169,9 @@ class CrossAttnProj(nn.Module):
         self.to_out = nn.Dense(inner, dtype=self.dtype)
 
     def qkv(self, x, ctx):
+        """BSHD (no head transpose) q/k/v."""
         b, lq, lk = x.shape[0], x.shape[1], ctx.shape[1]
-        sh = lambda t, l: t.reshape(b, l, self.heads, self.head_dim).transpose(
-            0, 2, 1, 3
-        )
+        sh = lambda t, l: t.reshape(b, l, self.heads, self.head_dim)
         return (
             sh(self.to_q(x), lq),
             sh(self.to_k(ctx), lk),
@@ -180,8 +179,8 @@ class CrossAttnProj(nn.Module):
         )
 
     def out(self, o):
-        b, h, l, d = o.shape
-        return self.to_out(o.transpose(0, 2, 1, 3).reshape(b, l, h * d))
+        b, l, h, d = o.shape
+        return self.to_out(o.reshape(b, l, h * d))
 
 
 class AudioTransformerBlock(nn.Module):
@@ -210,7 +209,7 @@ class AudioTransformerBlock(nn.Module):
         masks: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
     ):
-        from mmgt_tpu.ops.attention import dot_product_attention
+        from mmgt_tpu.ops.attention import dot_product_attention_bshd
 
         normed = LayerNorm(name="norm1")(x)
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
@@ -223,10 +222,10 @@ class AudioTransformerBlock(nn.Module):
             for i in range(3)
         ]
         qs, ks, vs = zip(*[p.qkv(normed, audio_tokens) for p in projs])
-        o = dot_product_attention(
-            jnp.concatenate(qs, 1), jnp.concatenate(ks, 1), jnp.concatenate(vs, 1)
+        o = dot_product_attention_bshd(
+            jnp.concatenate(qs, 2), jnp.concatenate(ks, 2), jnp.concatenate(vs, 2)
         )
-        outs = jnp.split(o, 3, axis=1)
+        outs = jnp.split(o, 3, axis=2)
         out = x
         for i, (proj, mask, scale) in enumerate(
             zip(projs, masks, motion_scale)

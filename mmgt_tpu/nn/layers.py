@@ -16,7 +16,10 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mmgt_tpu.ops.attention import dot_product_attention
+from mmgt_tpu.ops.attention import (
+    dot_product_attention,
+    dot_product_attention_bshd,
+)
 from mmgt_tpu.ops.norms import group_norm, layer_norm
 
 
@@ -142,17 +145,31 @@ class Attention(nn.Module):
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
         ctx = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        b, lq = x.shape[0], x.shape[1]
+        # Cross-attention over a SINGLE context token (the CLIP image embed,
+        # reference pipeline_pose2vid_long.py:381-394) is exactly `v`
+        # broadcast: softmax over one key is identically 1. Skip the q/k
+        # projections (fed zero-length token slices so the params still
+        # exist for checkpoint parity) and the attention kernel entirely.
+        single_kv = context is not None and context.shape[1] == 1 and kv_lens is None
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+            x[:, :0] if single_kv else x
+        )
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+            ctx[:, :0] if single_kv else ctx
+        )
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
-        b, lq = q.shape[0], q.shape[1]
-        lk = k.shape[1]
-        q = q.reshape(b, lq, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, lk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, lk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        o = dot_product_attention(q, k, v, kv_lens=kv_lens)
-        o = o.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        if single_kv:
+            o = jnp.broadcast_to(v, (b, lq, inner))
+        else:
+            # BSHD layout: no head transposes, kernel-native head_dim
+            lk = k.shape[1]
+            q = q.reshape(b, lq, self.heads, self.head_dim)
+            k = k.reshape(b, lk, self.heads, self.head_dim)
+            v = v.reshape(b, lk, self.heads, self.head_dim)
+            o = dot_product_attention_bshd(q, k, v, kv_lens=kv_lens)
+            o = o.reshape(b, lq, inner)
         kernel_init = (
             nn.initializers.zeros
             if self.zero_init_out

@@ -151,6 +151,43 @@ def _flash_attention(q, k, v, kv_lens, scale: float, block_q: int = 512,
     return out[:, :, :sq, :d]
 
 
+def dot_product_attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Attention over (B, S, H, D) tensors — the projection-native layout.
+
+    Convenience wrapper so the hot spatial/cross attention call sites skip
+    writing their own head transposes; also carries the exact single-KV-
+    token shortcut (softmax over one key is identically 1 -> output is v).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if k.shape[1] == 1 and kv_lens is None:
+        return jnp.broadcast_to(
+            v, (q.shape[0], q.shape[1]) + v.shape[2:]
+        ).astype(q.dtype)
+    # Layout note: a "native-BSHD" scratch-accumulator kernel processing
+    # heads via 40-lane slices was built and measured at 252 ms vs 132 ms
+    # for the padded-BHSD kernel on the bank-attention shape (PERF.md r2) —
+    # Mosaic's narrow-lane ops lose far more than the host-side
+    # pad/transpose costs. So this wrapper simply routes through the
+    # BHSD kernel.
+    o = dot_product_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        scale,
+        kv_lens,
+        impl,
+    )
+    return o.transpose(0, 2, 1, 3)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -166,6 +203,9 @@ def dot_product_attention(
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if k.shape[2] == 1 and kv_lens is None:
+        # softmax over a single key is identically 1 -> output == v
+        return jnp.broadcast_to(v, q.shape[:3] + (v.shape[-1],)).astype(q.dtype)
     if impl is None:
         # The flash kernel wins on long sequences (spatial/cross attention,
         # Skv >= 512). For short-seq huge-batch attention (temporal motion

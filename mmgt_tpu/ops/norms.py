@@ -1,14 +1,145 @@
-"""Normalization ops (jnp; XLA fuses these into neighbouring elementwise ops).
+"""Normalization ops.
 
 Channel-last (NHWC / N...C) layout throughout — the TPU-preferred layout.
 GroupNorm reductions run in float32 regardless of input dtype.
+
+On TPU, GroupNorm runs as a single-pass Pallas kernel when one batch row
+fits VMEM: XLA's lowering costs ~2 full HBM passes (a convert+reduce
+fusion for the statistics, then a normalize fusion); the kernel loads each
+(spatial, C) row once, computes the f32 group statistics in-VMEM via an
+MXU column-sum, and writes the normalized (+SiLU) output — ~2x less HBM
+traffic on the UNet's 60+ GroupNorms (measured via xplane traces, PERF.md).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
+               eps: float, act: Optional[str], use_gram: bool):
+    """One batch row: x_ref (1, L, C). Group stats via MXU column-sums.
+
+    Sum-of-squares per channel comes either from the diagonal of the Gram
+    matrix x^T x (use_gram: no (L, C) f32 temporary — best when L >> C) or
+    from a column-sum of a materialized f32 square (best when L is small).
+    Both accumulate bf16 products in f32, matching XLA's convert-then-
+    reduce statistics bit-for-bit up to summation order.
+    """
+    xb = x_ref[0]                               # (L, C), input dtype
+    l, c = xb.shape
+    gs = c // num_groups
+    ones = jnp.ones((8, l), xb.dtype)           # 8 rows: MXU-friendly LHS
+    colsum = jax.lax.dot_general(
+        ones, xb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )[:1]                                       # (1, C)
+    if use_gram:
+        gram = jax.lax.dot_general(
+            xb, xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                       # (C, C)
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+        )
+        colsq = jnp.sum(
+            jnp.where(eye, gram, 0.0), axis=0, keepdims=True
+        )                                       # (1, C)
+    else:
+        x2 = jnp.square(xb.astype(jnp.float32))
+        colsq = jax.lax.dot_general(
+            jnp.ones((8, l), jnp.float32), x2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:1]
+    # channel->group reduction and group->channel broadcast as tiny MXU
+    # dots against a 0/1 membership matrix (Mosaic disallows the lane-dim
+    # reshape (C,) -> (G, C/G))
+    gmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0) // gs
+        == jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    ).astype(jnp.float32)                                     # (C, G)
+    gsum = jax.lax.dot_general(
+        colsum, gmask, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                         # (1, G)
+    gsq = jax.lax.dot_general(
+        colsq, gmask, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n = jnp.float32(l * gs)
+    mean_g = gsum / n
+    var_g = jnp.maximum(gsq / n - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    back = lambda t: jax.lax.dot_general(
+        t, gmask, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                         # (1, C)
+    mean_c = back(mean_g)
+    inv_c = back(inv_g)
+    out = (xb.astype(jnp.float32) - mean_c) * inv_c
+    out = out * scale_ref[0][None, :] + bias_ref[0][None, :]
+    if act == "silu":
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "act", "interpret")
+)
+def _group_norm_pallas(x, scale, bias, num_groups: int, eps: float,
+                       act: Optional[str], interpret: bool = False):
+    n = x.shape[0]
+    c = x.shape[-1]
+    l = 1
+    for s in x.shape[1:-1]:
+        l *= s
+    x2 = x.reshape(n, l, c)
+    kernel = functools.partial(
+        _gn_kernel, num_groups=num_groups, eps=eps, act=act,
+        use_gram=(2 * c < l),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, l, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, l, c), x.dtype),
+        # one (L, C) row + f32 temporaries exceeds the default 16M scoped
+        # VMEM at the 4096x320 level-0 shape; v5e has 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x2, scale[None, :].astype(jnp.float32), bias[None, :].astype(jnp.float32))
+    return out.reshape(x.shape)
+
+
+def _gn_pallas_eligible(x, num_groups: int, scale, bias) -> bool:
+    if jax.default_backend() != "tpu" or scale is None or bias is None:
+        return False
+    if x.ndim < 3:
+        return False
+    c = x.shape[-1]
+    l = 1
+    for s in x.shape[1:-1]:
+        l *= s
+    if c % num_groups != 0 or l < 8:
+        return False
+    # VMEM estimate: double-buffered in/out row blocks + f32 temporaries
+    # (validated against the raised 96M per-kernel limit set below)
+    io = l * c * x.dtype.itemsize * 4
+    tmp = c * c * 8 if 2 * c < l else l * c * 4
+    return io + tmp + l * c * 4 <= 64 * 1024 * 1024
 
 
 def group_norm(
@@ -18,6 +149,7 @@ def group_norm(
     bias: Optional[jnp.ndarray] = None,
     eps: float = 1e-6,
     act: Optional[str] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """GroupNorm over the trailing channel dim of an N...C tensor.
 
@@ -25,7 +157,19 @@ def group_norm(
     leading batch dim — equivalent to torch GroupNorm on NCHW after layout
     transposition (used by every ResNet/transformer block in the reference's
     UNets). Optional fused activation: "silu".
+
+    impl: None (auto: single-pass pallas kernel on TPU when a batch row
+    fits VMEM, else XLA) | "pallas" | "pallas_interpret" | "xla".
     """
+    if impl is None:
+        impl = (
+            "pallas" if _gn_pallas_eligible(x, num_groups, scale, bias) else "xla"
+        )
+    if impl in ("pallas", "pallas_interpret"):
+        return _group_norm_pallas(
+            x, scale, bias, num_groups, eps, act,
+            interpret=(impl == "pallas_interpret"),
+        )
     dtype = x.dtype
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)

@@ -162,11 +162,16 @@ class Audio2VideoPipeline:
         init_keypoints: np.ndarray,   # (402,) portrait keypoints (abs coords)
         video_length: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
+        import time as _time
+
         cfg = self.config
         wav = load_wav(wav_path, SAMPLE_RATE)
         rng, pose_rng, gen_rng = jax.random.split(rng, 3)
 
+        t0 = _time.time()
         keypoints = self.generate_pose(pose_rng, wav, init_keypoints)
+        # generate_pose ends in host numpy -> device is drained here
+        self.timings = {"stage1_s": _time.time() - t0}
         L = min(len(keypoints), video_length or cfg.video_length)
         keypoints = keypoints[:L]
 
@@ -186,6 +191,7 @@ class Audio2VideoPipeline:
         else:
             clip_embed = jnp.zeros((1, 1, 768))
 
+        t1 = _time.time()
         frames = self.pose2vid(
             self.pose2vid_params,
             gen_rng,
@@ -198,8 +204,10 @@ class Audio2VideoPipeline:
             guidance_scale=cfg.guidance_scale,
             motion_scale=cfg.motion_scale,
         )
+        out_frames = np.asarray(frames[0])  # sync point: stage-2 done
+        self.timings["stage2_s"] = _time.time() - t1
         return {
-            "frames": np.asarray(frames[0]),
+            "frames": out_frames,
             "keypoints": keypoints,
             "pose_video": np.asarray(cond["pose_video"][0]),
         }

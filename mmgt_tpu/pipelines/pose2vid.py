@@ -357,16 +357,18 @@ class Pose2VideoPipeline:
 
     def _bank_shapes(self, h8: int, w8: int):
         chans = list(self.denoising_unet.block_out_channels)
+        n = len(chans)
+        layers = self.denoising_unet.layers_per_block
         shapes = []
-        # down: 2 banks per cross-attn block
-        for bi in range(3):
+        # down: `layers` banks per cross-attn block (blocks 0..n-2)
+        for bi in range(n - 1):
             l = (h8 >> bi) * (w8 >> bi)
-            shapes += [(l, chans[bi])] * 2
-        # mid
-        shapes.append(((h8 >> 3) * (w8 >> 3), chans[-1]))
-        # up: 3 banks per cross-attn block (up blocks 1..3)
+            shapes += [(l, chans[bi])] * layers
+        # mid (at the deepest level)
+        shapes.append(((h8 >> (n - 1)) * (w8 >> (n - 1)), chans[-1]))
+        # up: layers+1 banks per cross-attn block (up blocks 1..n-1)
         rev = list(reversed(chans))
-        for bi in range(1, 4):
-            l = (h8 >> (3 - bi)) * (w8 >> (3 - bi))
-            shapes += [(l, rev[bi])] * 3
+        for bi in range(1, n):
+            l = (h8 >> (n - 1 - bi)) * (w8 >> (n - 1 - bi))
+            shapes += [(l, rev[bi])] * (layers + 1)
         return shapes

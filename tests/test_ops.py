@@ -102,3 +102,23 @@ def test_attention_kv_lens():
     # pallas kernel agrees
     outp = dot_product_attention(q, k, v, kv_lens=lens, impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(outp), np.asarray(out), atol=2e-5, rtol=1e-4)
+
+
+def test_group_norm_pallas_matches_xla():
+    """Single-pass pallas GroupNorm (interpret mode) == XLA reference."""
+    import numpy as np
+
+    from mmgt_tpu.ops.norms import group_norm
+
+    rng = np.random.default_rng(0)
+    for shape, g in [((3, 16, 16, 320), 32), ((2, 64, 1280), 32)]:
+        x = jnp.asarray(rng.standard_normal(shape) * 2 + 0.5, jnp.float32)
+        sc = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        bi = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        for act in (None, "silu"):
+            ref = group_norm(x, g, sc, bi, 1e-5, act, impl="xla")
+            out = group_norm(x, g, sc, bi, 1e-5, act, impl="pallas_interpret")
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=3e-5,
+                err_msg=f"{shape} act={act}",
+            )
