@@ -1,0 +1,135 @@
+"""Tensor-parallel correctness at REAL model widths (VERDICT r1 item 8).
+
+Two claims proven here:
+  1. the TP regex rules in parallel/mesh.py actually hit the intended
+     kernels of the real 320/640-wide attention/FFN blocks (not just toy
+     names), with column-parallel outputs and row-parallel inputs;
+  2. a tp=2 train step computes the same loss and the same updated params
+     as tp=1 (XLA inserts the collectives; math must be unchanged).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mmgt_tpu.models.audio_proj import AudioProjModel
+from mmgt_tpu.models.pose_guider import PoseGuider
+from mmgt_tpu.models.unet3d import DenoisingUNet3D
+from mmgt_tpu.models.unet_ref import ReferenceUNet2D
+from mmgt_tpu.models.vae import AutoencoderKL
+from mmgt_tpu.parallel.mesh import batch_sharding, create_mesh, param_shardings
+from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+from mmgt_tpu.training.stage2 import Stage2Trainer
+
+
+def _real_width_pipe():
+    """Real 320/640 channel widths (SD1.5's first two levels: head_dim 40
+    and 80, GEGLU 2560/5120) at tiny spatial extent."""
+    return Pose2VideoPipeline(
+        vae=AutoencoderKL(block_out_channels=(16, 16, 32, 32)),
+        reference_unet=ReferenceUNet2D(block_out_channels=(320, 640), heads=8),
+        denoising_unet=DenoisingUNet3D(block_out_channels=(320, 640), heads=8),
+        pose_guider=PoseGuider(
+            embedding_channels=320, block_out_channels=(4, 8, 8, 16)
+        ),
+        audio_proj=AudioProjModel(intermediate_dim=32),
+        context_size=4,
+    )
+
+
+def test_tp_rules_hit_real_width_kernels():
+    mesh = create_mesh(n_devices=8, tp=2)
+    pipe = _real_width_pipe()
+    params = jax.eval_shape(
+        lambda: pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    )
+    sh = param_shardings(mesh, params)
+    flat_p = traverse_util.flatten_dict(params, sep="/")
+    flat_s = traverse_util.flatten_dict(sh, sep="/")
+
+    col = [k for k, s in flat_s.items() if s.spec == P(None, "tp")]
+    row = [k for k, s in flat_s.items() if s.spec == P("tp", None)]
+    assert len(col) > 0 and len(row) > 0
+
+    # the intended kernels, at the real widths
+    def has(keys, pattern, in_dim=None, out_dim=None):
+        hits = [k for k in keys if pattern in k]
+        assert hits, f"no sharded kernel matching {pattern!r}"
+        for k in hits:
+            shp = flat_p[k].shape
+            if in_dim:
+                assert shp[0] in in_dim, (k, shp)
+            if out_dim:
+                assert shp[-1] in out_dim, (k, shp)
+
+    # column-parallel: qkv + FFN-in, output dim sharded
+    has(col, "attn1/to_q/kernel", out_dim={320, 640})
+    has(col, "attn1/to_k/kernel", out_dim={320, 640})
+    has(col, "attn1/to_v/kernel", out_dim={320, 640})
+    has(col, "ff/proj_geglu/kernel", out_dim={2560, 5120})
+    # row-parallel: attention-out + FFN-out, input dim sharded
+    has(row, "attn1/to_out/kernel", in_dim={320, 640})
+    has(row, "ff/proj_out/kernel", in_dim={1280, 2560})
+
+    # every sharded dim must divide tp
+    for k in col:
+        assert flat_p[k].shape[-1] % 2 == 0, k
+    for k in row:
+        assert flat_p[k].shape[0] % 2 == 0, k
+
+
+def _one_step(tp: int):
+    mesh = create_mesh(n_devices=2 * tp, dp=2, tp=tp)
+    pipe = _real_width_pipe()
+    trainer = Stage2Trainer(pipe)
+    rng = jax.random.PRNGKey(0)
+    params = pipe.init_params(rng, 64, 64)
+    state = trainer.init_state(params)
+    batch = trainer.make_example_batch(b=2, f=2, height=64, width=64)
+    # non-trivial inputs so grads are informative
+    batch["pixel_values"] = jax.random.normal(
+        jax.random.PRNGKey(1), batch["pixel_values"].shape
+    ) * 0.5
+    batch["audio_embeds"] = jax.random.normal(
+        jax.random.PRNGKey(2), batch["audio_embeds"].shape
+    ) * 0.5
+
+    state_sh = type(state)(
+        step=NamedSharding(mesh, P()),
+        trainable=param_shardings(mesh, state.trainable),
+        frozen=param_shardings(mesh, state.frozen),
+        opt_state=jax.tree.map(
+            lambda x: NamedSharding(mesh, P()),
+            state.opt_state,
+            is_leaf=lambda x: hasattr(x, "shape"),
+        ),
+    )
+    batch_sh = jax.tree.map(lambda x: batch_sharding(mesh, x.ndim), batch)
+    state = jax.device_put(state, state_sh)
+    batch = jax.device_put(batch, batch_sh)
+    step = jax.jit(
+        trainer.train_step,
+        in_shardings=(state_sh, batch_sh, None),
+        out_shardings=(state_sh, None),
+    )
+    with mesh:
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        jax.block_until_ready(new_state.trainable)
+    return float(metrics["loss"]), jax.tree.map(np.asarray, new_state.trainable)
+
+
+@pytest.mark.slow
+def test_tp2_matches_tp1_train_step():
+    loss1, tr1 = _one_step(tp=1)
+    loss2, tr2 = _one_step(tp=2)
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss1, loss2, rtol=2e-5)
+    flat1 = traverse_util.flatten_dict(tr1, sep="/")
+    flat2 = traverse_util.flatten_dict(tr2, sep="/")
+    assert flat1.keys() == flat2.keys()
+    for k in flat1:
+        np.testing.assert_allclose(
+            flat1[k], flat2[k], atol=2e-5, rtol=2e-4, err_msg=k
+        )
