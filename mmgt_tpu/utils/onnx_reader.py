@@ -139,11 +139,50 @@ def _parse_tensor(buf: bytes, lo: int, hi: int) -> Tuple[str, np.ndarray]:
         arr = np.asarray(int_data, np.int64).astype(np_dtype)
     else:
         arr = np.zeros(0, np_dtype)
-    return name, arr.reshape(dims if dims else arr.shape).copy()
+    # dims == [] is a genuine ONNX scalar (shape ()); only fall back to the
+    # flat shape when the element count contradicts a scalar read
+    shape = tuple(dims) if (dims or arr.size == 1) else arr.shape
+    return name, arr.reshape(shape).copy()
+
+
+def _parse_attribute(buf: bytes, lo: int, hi: int):
+    """AttributeProto -> (name, python value). Covers the kinds the DWPose /
+    separator graphs use: f(2), i(3), s(4), t(5), floats(7), ints(8)."""
+    name = ""
+    val = None
+    ints: List[int] = []
+    floats: List[float] = []
+    for field, wt, v in _iter_fields(buf, lo, hi):
+        if field == 1 and wt == 2:
+            name = buf[v[0] : v[1]].decode("utf-8")
+        elif field == 2 and wt == 5:  # f
+            val = float(np.frombuffer(v, "<f4")[0])
+        elif field == 3 and wt == 0:  # i
+            val = _zigzag_to_signed(v)
+        elif field == 4 and wt == 2:  # s
+            val = buf[v[0] : v[1]].decode("utf-8", "replace")
+        elif field == 5 and wt == 2:  # t (tensor)
+            val = _parse_tensor(buf, *v)[1]
+        elif field == 7:  # floats
+            if wt == 5:
+                floats.append(float(np.frombuffer(v, "<f4")[0]))
+            else:
+                s, e = v
+                floats.extend(np.frombuffer(buf[s:e], "<f4").tolist())
+        elif field == 8:  # ints
+            if wt == 0:
+                ints.append(_zigzag_to_signed(v))
+            else:
+                ints.extend(_zigzag_to_signed(x) for x in _packed_varints(buf, *v))
+    if ints:
+        val = ints
+    elif floats:
+        val = floats
+    return name, val
 
 
 def _parse_node(buf: bytes, lo: int, hi: int) -> Dict[str, object]:
-    node = {"input": [], "output": [], "name": "", "op_type": ""}
+    node = {"input": [], "output": [], "name": "", "op_type": "", "attrs": {}}
     for field, wt, v in _iter_fields(buf, lo, hi):
         if wt != 2:
             continue
@@ -156,11 +195,32 @@ def _parse_node(buf: bytes, lo: int, hi: int) -> Dict[str, object]:
             node["name"] = buf[s:e].decode("utf-8")
         elif field == 4:
             node["op_type"] = buf[s:e].decode("utf-8")
+        elif field == 5:
+            k, val = _parse_attribute(buf, s, e)
+            node["attrs"][k] = val
     return node
+
+
+def _value_info_name(buf: bytes, lo: int, hi: int) -> str:
+    for field, wt, v in _iter_fields(buf, lo, hi):
+        if field == 1 and wt == 2:
+            return buf[v[0] : v[1]].decode("utf-8")
+    return ""
 
 
 def parse_onnx_graph(data: bytes) -> Tuple[Dict[str, np.ndarray], List[Dict]]:
     """Parse serialized ModelProto bytes -> (initializers, nodes)."""
+    inits, nodes, _, _ = parse_onnx_model(data)
+    return inits, nodes
+
+
+def parse_onnx_model(
+    data: bytes,
+) -> Tuple[Dict[str, np.ndarray], List[Dict], List[str], List[str]]:
+    """ModelProto bytes -> (initializers, nodes, input_names, output_names).
+
+    input_names excludes initializers (following onnxruntime's notion of
+    runtime inputs)."""
     graph_span = None
     for field, wt, v in _iter_fields(data, 0, len(data)):
         if field == 7 and wt == 2:  # ModelProto.graph
@@ -170,6 +230,8 @@ def parse_onnx_graph(data: bytes) -> Tuple[Dict[str, np.ndarray], List[Dict]]:
         raise ValueError("no GraphProto found — not an ONNX ModelProto?")
     inits: Dict[str, np.ndarray] = {}
     nodes: List[Dict] = []
+    inputs: List[str] = []
+    outputs: List[str] = []
     for field, wt, v in _iter_fields(data, *graph_span):
         if wt != 2:
             continue
@@ -178,7 +240,12 @@ def parse_onnx_graph(data: bytes) -> Tuple[Dict[str, np.ndarray], List[Dict]]:
             inits[name] = arr
         elif field == 1:  # node
             nodes.append(_parse_node(data, *v))
-    return inits, nodes
+        elif field == 11:  # input (ValueInfoProto)
+            inputs.append(_value_info_name(data, *v))
+        elif field == 12:  # output
+            outputs.append(_value_info_name(data, *v))
+    inputs = [n for n in inputs if n not in inits]
+    return inits, nodes, inputs, outputs
 
 
 def load_onnx(path: str) -> Tuple[Dict[str, np.ndarray], List[Dict]]:

@@ -103,7 +103,7 @@ def test_nodes_parsed():
     _, nodes = orx.parse_onnx_graph(blob)
     assert nodes == [
         {"input": ["x", "w", "b"], "output": ["y"], "name": "conv0",
-         "op_type": "Conv"}
+         "op_type": "Conv", "attrs": {}}
     ]
 
 
