@@ -95,6 +95,30 @@ class Stage2TrainConfig:
     mesh_tp: int = 1
 
 
+@dataclasses.dataclass
+class Stage2ImageTrainConfig:
+    """Stage-2 process-1 single-image pretrain (reference
+    config/train/stage1.yaml + train_stage_1.py)."""
+
+    train_width: int = 256
+    train_height: int = 256
+    sample_margin: int = 30
+    batch_size: int = 4
+    max_train_steps: int = 30000
+    learning_rate: float = 1e-5
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    snr_gamma: float = 5.0
+    noise_offset: float = 0.05
+    uncond_ratio: float = 0.1
+    checkpointing_steps: int = 2000
+    checkpoint_dir: str = "checkpoints/stage2_image"
+    meta_paths: Sequence[str] = ()
+    seed: int = 12580
+    mesh_dp: Optional[int] = None
+    mesh_tp: int = 1
+
+
 def load_config(cls, path: Optional[str] = None, **overrides):
     """Build a config from an optional JSON/YAML file + overrides."""
     data: Dict[str, Any] = {}

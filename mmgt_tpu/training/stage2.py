@@ -53,6 +53,24 @@ def merge_params(trainable: Dict, frozen: Dict) -> Dict:
     return traverse_util.unflatten_dict(flat, sep="/")
 
 
+def encode_clip_batch(clip_model, clip_params, images) -> jnp.ndarray:
+    """(B, H, W, 3) images in [0, 1] -> (B, 1, 768) CLIP image embeddings.
+
+    The glue between dataset `clip_image` and the trainers' `clip_embed`
+    input (reference train_stage_2.py:793-812). Falls back to zeros when no
+    CLIP weights are available so training stays runnable (equivalent to
+    permanent uncond-image dropout).
+    """
+    b = images.shape[0]
+    if clip_model is None or clip_params is None:
+        return jnp.zeros((b, 1, 768), jnp.float32)
+    from mmgt_tpu.models.clip_vision import clip_preprocess
+
+    x = clip_preprocess(jnp.asarray(images, jnp.float32))
+    emb = clip_model.apply(clip_params, x.astype(clip_model.dtype))
+    return emb.astype(jnp.float32)  # (B, 1, 768)
+
+
 class TrainState(NamedTuple):
     step: jnp.ndarray
     trainable: Any

