@@ -68,6 +68,25 @@ class GestureDataset:
                 }
 
 
+def _triangle_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) antialiased-bilinear (triangle-filter) resize weights —
+    the same kernel jax.image.resize("bilinear") and PIL BILINEAR use for
+    downscales (filter support scaled by the ratio)."""
+    scale = n_in / n_out
+    support = max(scale, 1.0)
+    centers = (np.arange(n_out) + 0.5) * scale - 0.5
+    x = (np.arange(n_in)[None, :] - centers[:, None]) / support
+    w = np.clip(1.0 - np.abs(x), 0.0, None)
+    return w / w.sum(axis=1, keepdims=True)
+
+
+def _resize_area_bilinear(m: np.ndarray, out_hw: int) -> np.ndarray:
+    """(T, H, W) -> (T, out_hw, out_hw), antialiased bilinear."""
+    wh = _triangle_weights(m.shape[1], out_hw)
+    ww = _triangle_weights(m.shape[2], out_hw)
+    return np.einsum("oh,thw,pw->top", wh, m, ww, optimize=True)
+
+
 class TalkingVideoDataset:
     """Stage-2 items from packed .npz clip records.
 
@@ -81,7 +100,8 @@ class TalkingVideoDataset:
     """
 
     def __init__(self, meta_paths: Sequence[str], n_sample_frames: int = 12,
-                 audio_margin: int = 2, levels: int = 3):
+                 audio_margin: int = 2, levels: int = 3,
+                 pyramid_mode: str = "resize"):
         self.records: List[Path] = []
         for mp in meta_paths:
             meta = json.loads(Path(mp).read_text())
@@ -94,17 +114,30 @@ class TalkingVideoDataset:
         self.n_frames = n_sample_frames
         self.margin = audio_margin
         self.levels = levels
+        if pyramid_mode not in ("resize", "meanpool"):
+            raise ValueError(pyramid_mode)
+        self.pyramid_mode = pyramid_mode
 
     def __len__(self):
         return len(self.records)
 
     def _pyramid(self, m01: np.ndarray) -> List[np.ndarray]:
-        """(T, h8, h8) float -> levels x (T, tokens)."""
+        """(T, h8, h8) float -> levels x (T, tokens).
+
+        Default "resize": antialiased-bilinear downscales of the blurred
+        base mask — matching both the reference's attn_transform_{64..8}
+        stack (PIL Resize applies the antialiased triangle filter on
+        downscale, image_processor.py:57-104) and this framework's
+        on-device inference pyramid (ops/image.mask_pyramid via
+        jax.image.resize). "meanpool" keeps the r1 box-average behavior.
+        """
         out = []
         t, h = m01.shape[0], m01.shape[1]
         for l in range(self.levels):
             if l == 0:
                 ml = m01
+            elif self.pyramid_mode == "resize":
+                ml = _resize_area_bilinear(m01, h >> l)
             else:
                 k = 1 << l
                 ml = m01.reshape(t, h // k, k, h // k, k).mean((2, 4))

@@ -151,3 +151,63 @@ def test_guidance_weight_clipping():
     sched = GestureDiffusionSchedule(guidance_weight=2.0)
     assert float(sched.guidance_weight_at(jnp.asarray(50.0))) == 1.0
     assert float(sched.guidance_weight_at(jnp.asarray(500.0))) == 2.0
+
+
+def test_stage2_ddim_zero_snr_golden_tables():
+    """Golden test of the Stage-2 scheduler tables against an independent
+    numpy transcription of the published diffusers algorithm (DDIMScheduler
+    with linear betas 0.00085..0.012 + rescale_betas_zero_snr (Lin et al.)
+    + trailing spacing — the reference config, animation.yaml:78-90), plus
+    hard literals so a regression in EITHER implementation trips.
+    """
+    sch = DDIMScheduler()  # defaults == reference config
+    T, S = 1000, 25
+
+    # independent computation
+    betas = np.linspace(0.00085, 0.012, T, dtype=np.float64)
+    ac = np.cumprod(1 - betas)
+    sq = np.sqrt(ac)
+    sq = (sq - sq[-1]) * sq[0] / (sq[0] - sq[-1])
+    ac_znr = sq**2
+    ts_ref = np.round(np.arange(T, 0, -T / S)).astype(np.int64) - 1
+
+    np.testing.assert_allclose(
+        np.asarray(sch.tables.alphas_cumprod), ac_znr, atol=1e-7
+    )
+    state = sch.init(S)
+    np.testing.assert_array_equal(np.asarray(state.timesteps), ts_ref)
+    np.testing.assert_allclose(
+        np.asarray(state.alpha_prod), ac_znr[ts_ref], rtol=1e-5, atol=1e-8
+    )
+    prev = ts_ref - T // S
+    ref_prev = np.where(prev >= 0, ac_znr[np.maximum(prev, 0)], 1.0)
+    np.testing.assert_allclose(
+        np.asarray(state.alpha_prod_prev), ref_prev, rtol=1e-5, atol=1e-8
+    )
+
+    # hard literals (computed from the published closed forms)
+    assert ts_ref[:5].tolist() == [999, 959, 919, 879, 839]
+    np.testing.assert_allclose(
+        np.asarray(sch.tables.alphas_cumprod)[[999, 959, 919, 879]],
+        [0.0, 0.0001225332823, 0.0006003574544, 0.001650893611],
+        rtol=1e-5, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sch.tables.alphas_cumprod)[[119, 79, 39]],
+        [0.8272114676, 0.8978997327, 0.9564931827],
+        rtol=1e-6,
+    )
+    assert float(sch.tables.alphas_cumprod[-1]) == 0.0  # exact zero SNR
+    np.testing.assert_allclose(float(sch.tables.betas[0]), 0.00085, rtol=1e-6)
+    np.testing.assert_allclose(float(sch.tables.betas[-1]), 1.0, atol=1e-6)
+
+    # v-prediction step(): manual closed form at step_index 1 (t=959)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    v = rng.standard_normal((2, 4)).astype(np.float32)
+    a_t, a_prev = ac_znr[959], ac_znr[919]
+    x0 = np.sqrt(a_t) * x - np.sqrt(1 - a_t) * v
+    eps = np.sqrt(a_t) * v + np.sqrt(1 - a_t) * x
+    want = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+    got = sch.step(state, jnp.asarray(v), 1, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
