@@ -176,6 +176,33 @@ class DWPoseDetector:
         self.pose_fn = pose_fn
         self.pose_input = pose_input
 
+    @classmethod
+    def from_onnx(
+        cls, yolox_path: str, rtmpose_path: str, pose_input=(288, 384)
+    ) -> "DWPoseDetector":
+        """Run the reference's exact .onnx graphs (yolox_l.onnx +
+        dw-ll_ucoco_384.onnx, src/dwpose/wholebody.py:14-27) through the
+        in-repo ONNX executor — no weight-name conversion involved, so
+        this is also the oracle for validating the flax nets once assets
+        are present. The ONNX graphs are NCHW; inputs are adapted from
+        this module's channel-last convention."""
+        from mmgt_tpu.utils.onnx_exec import OnnxRunner
+
+        det = OnnxRunner.from_file(yolox_path)
+        pose = OnnxRunner.from_file(rtmpose_path)
+
+        def det_fn(img_nhwc):
+            (out,) = det(np.transpose(np.asarray(img_nhwc), (0, 3, 1, 2))).values()
+            return np.asarray(out)
+
+        def pose_fn(crops_nhwc):
+            outs = list(
+                pose(np.transpose(np.asarray(crops_nhwc), (0, 3, 1, 2))).values()
+            )
+            return np.asarray(outs[0]), np.asarray(outs[1])
+
+        return cls(det_fn, pose_fn, pose_input)
+
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """img: (H, W, 3) uint8 RGB -> (134, 3) x,y abs coords + score."""
         padded, ratio = yolox_preprocess(img)

@@ -75,13 +75,15 @@ def main():
     print(f"dataset: {len(ds)} clips")
 
     rng = jax.random.PRNGKey(cfg.seed)
+    loaded = {}
     if cfg.weights_dir or args.weights_dir:
         from mmgt_tpu.training.stage1 import SMGA
         from mmgt_tpu.utils.weights import load_all_weights
 
-        params = load_all_weights(
+        loaded = load_all_weights(
             args.weights_dir or cfg.weights_dir, pipe, SMGA()
-        )["pose2vid"]
+        )
+        params = loaded["pose2vid"]
     else:
         params = pipe.init_params(rng, cfg.train_height, cfg.train_width)
     state = trainer.init_state(params)
@@ -108,17 +110,26 @@ def main():
     state = jax.device_put(state, state_sh)
     step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None))
 
+    from mmgt_tpu.training.stage2 import encode_clip_batch
+
+    clip_model = loaded.get("clip_model")
+    clip_params = loaded.get("clip_params")
+    clip_fn = jax.jit(
+        lambda imgs: encode_clip_batch(clip_model, clip_params, imgs)
+    )
+
     it = ds.batches(bs, cfg.seed)
     mlog = MetricsLogger(cfg.checkpoint_dir, "train_stage2")
     t0 = time.time()
     with mesh:
         while int(state.step) < cfg.max_train_steps:
             batch = next(it)
-            # clip embedding not computed in-loop without CLIP weights
             batch = {
                 "pixel_values": batch["pixel_values"],
                 "ref_image": batch["ref_image"],
-                "clip_embed": np.zeros((bs, 1, 768), np.float32),
+                # dataset clip_image -> CLIP embedding (zeros when no CLIP
+                # weights: equivalent to permanent uncond-image dropout)
+                "clip_embed": np.asarray(clip_fn(batch["clip_image"])),
                 "audio_embeds": batch["audio_embeds"],
                 "pose_video": batch["pose_video"],
                 "masks": batch["masks"],

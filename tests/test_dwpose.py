@@ -1,3 +1,5 @@
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,3 +129,69 @@ def test_dwpose_detector_end_to_end_stub_models():
     # crop-center peaks map back to the detected bbox center (~320, 320)
     np.testing.assert_allclose(kp[0, :2], [320, 320], atol=8)
     assert (kp[:, 2] == 1.0).all()
+
+
+def test_dwpose_detector_from_onnx(tmp_path):
+    """DWPoseDetector.from_onnx runs the whole detect->crop->SimCC path
+    through the in-repo ONNX executor on synthetic graphs with the exact
+    output geometry of yolox_l.onnx / dw-ll_ucoco_384.onnx."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_onnx_exec import _model_io, _node_a
+    from test_onnx_reader import _tensor
+
+    from mmgt_tpu.data.dwpose_infer import DWPoseDetector
+
+    rng = np.random.default_rng(0)
+
+    # --- det graph: (1,3,640,640) -> (1, 8400, 85) over strides 8/16/32
+    wdet = (rng.standard_normal((85, 3, 1, 1)) * 0.1).astype(np.float32)
+    tensors = [_tensor("w", wdet)]
+    nodes, parts = [], []
+    for s in (8, 16, 32):
+        nodes += [
+            _node_a("AveragePool", ["img"], [f"p{s}"],
+                    {"kernel_shape": [s, s], "strides": [s, s]}),
+            _node_a("Conv", [f"p{s}", "w"], [f"c{s}"], {}),
+            _node_a("Reshape", [f"c{s}", f"sh{s}"], [f"r{s}"]),
+        ]
+        tensors.append(
+            _tensor(f"sh{s}", np.asarray([1, 85, (640 // s) ** 2], np.int64))
+        )
+        parts.append(f"r{s}")
+    nodes += [
+        _node_a("Concat", parts, ["cat"], {"axis": 2}),
+        _node_a("Transpose", ["cat"], ["dets"], {"perm": [0, 2, 1]}),
+    ]
+    det_blob = _model_io(tensors, nodes, ["img"], ["dets"])
+
+    # --- pose graph: (K,3,384,288) -> simcc_x (K,133,576), simcc_y (K,133,768)
+    wx = (rng.standard_normal((3, 133 * 576)) * 0.1).astype(np.float32)
+    wy = (rng.standard_normal((3, 133 * 768)) * 0.1).astype(np.float32)
+    pose_blob = _model_io(
+        [
+            _tensor("wx", wx), _tensor("wy", wy),
+            _tensor("shx", np.asarray([0, 133, 576], np.int64)),
+            _tensor("shy", np.asarray([0, 133, 768], np.int64)),
+        ],
+        [
+            _node_a("GlobalAveragePool", ["crop"], ["g"]),
+            _node_a("Flatten", ["g"], ["f"], {"axis": 1}),
+            _node_a("MatMul", ["f", "wx"], ["mx"]),
+            _node_a("Reshape", ["mx", "shx"], ["simcc_x"]),
+            _node_a("MatMul", ["f", "wy"], ["my"]),
+            _node_a("Reshape", ["my", "shy"], ["simcc_y"]),
+        ],
+        ["crop"], ["simcc_x", "simcc_y"],
+    )
+
+    dp, pp = tmp_path / "yolox.onnx", tmp_path / "rtmpose.onnx"
+    dp.write_bytes(det_blob)
+    pp.write_bytes(pose_blob)
+
+    det = DWPoseDetector.from_onnx(str(dp), str(pp))
+    img = rng.integers(0, 255, (480, 360, 3)).astype(np.uint8)
+    kp = det(img)
+    assert kp.shape == (134, 3)
+    assert np.isfinite(kp).all()
