@@ -166,7 +166,65 @@ def bench_audio2vid():
     return best, comp, compile_s
 
 
+def bench_train_stage2():
+    """One full-size Stage-2 train step (bs 1, 12-frame clip at SIZE^2,
+    selective trainability, remat) — the reference's training unit
+    (train_stage_2.py:720-962, bs 1/device)."""
+    from mmgt_tpu.models.audio_proj import AudioProjModel
+    from mmgt_tpu.models.pose_guider import PoseGuider
+    from mmgt_tpu.models.unet3d import DenoisingUNet3D
+    from mmgt_tpu.models.unet_ref import ReferenceUNet2D
+    from mmgt_tpu.models.vae import AutoencoderKL
+    from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+    from mmgt_tpu.training.stage2 import Stage2Trainer
+
+    dt = jnp.bfloat16
+    pipe = Pose2VideoPipeline(
+        vae=AutoencoderKL(dtype=dt),
+        reference_unet=ReferenceUNet2D(dtype=dt),
+        denoising_unet=DenoisingUNet3D(dtype=dt, remat=True),
+        pose_guider=PoseGuider(dtype=dt),
+        audio_proj=AudioProjModel(dtype=dt),
+    )
+    trainer = Stage2Trainer(pipe)
+    params = zeros_params(lambda: pipe.init_params(jax.random.PRNGKey(0), 64, 64))
+    params = jax.tree.map(
+        lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params
+    )
+    state = trainer.init_state(params)
+    batch = trainer.make_example_batch(b=1, f=12, height=SIZE, width=SIZE)
+    batch = jax.tree.map(lambda x: jnp.asarray(x, dt), batch)
+    step = jax.jit(trainer.train_step)
+
+    t0 = time.time()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    np.asarray(m["loss"])
+    compile_s = time.time() - t0
+    best = float("inf")
+    for i in range(max(REPEATS, 2)):
+        t0 = time.time()
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+        np.asarray(m["loss"])
+        best = min(best, time.time() - t0)
+    return best, {"loss_finite": bool(np.isfinite(float(m["loss"])))}, compile_s
+
+
 def main():
+    if MODE == "train_stage2":
+        best, comp, compile_s = bench_train_stage2()
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_stage2_step_12f_{SIZE}px_bs1_1chip",
+                    "value": round(best, 2),
+                    "unit": "s",
+                    "vs_baseline": round(best / 10.0, 3),
+                    "components": comp,
+                }
+            )
+        )
+        print(f"# compile={compile_s:.0f}s", file=sys.stderr)
+        return
     if MODE == "pose2vid":
         best, comp, compile_s = bench_pose2vid()
         metric = f"pose2vid_e2e_{FRAMES}f_{SIZE}px_{STEPS}steps_1chip"

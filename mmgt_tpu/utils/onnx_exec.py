@@ -14,7 +14,7 @@ Gather -> Concat -> Reshape) are constant-folded on host at trace time.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
