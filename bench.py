@@ -194,7 +194,7 @@ def bench_train_stage2():
     state = trainer.init_state(params)
     batch = trainer.make_example_batch(b=1, f=12, height=SIZE, width=SIZE)
     batch = jax.tree.map(lambda x: jnp.asarray(x, dt), batch)
-    step = jax.jit(trainer.train_step)
+    step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     t0 = time.time()
     state, m = step(state, batch, jax.random.PRNGKey(1))

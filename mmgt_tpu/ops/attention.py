@@ -26,6 +26,8 @@ import functools
 import math
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -188,6 +190,300 @@ def dot_product_attention_bshd(
     return o.transpose(0, 2, 1, 3)
 
 
+# ------------------------------------------------------------ backward pass
+def _flash_fwd_lse_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                          block_k: int, scale: float):
+    """Forward pass that also emits the per-row logsumexp (for the VJP)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    bq, d = q.shape
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    num_kv_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # (BQ, 1)
+
+
+def _flash_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                     dq_ref, *, block_k: int, scale: float):
+    """dq for one q block: dq_i = scale * sum_j p_ij (dp_ij - D_i) k_j."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]    # (BQ, 1)
+    dsum = dsum_ref[0]  # (BQ, 1)
+    bq, d = q.shape
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    num_kv_blocks = pl.cdiv(kv_len, block_k)
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dsum)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_kv_blocks, body, jnp.zeros((bq, d), jnp.float32)
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      dsum_ref, dk_ref, dv_ref, *, block_q: int, scale: float):
+    """dk/dv for one kv block, looping over q blocks.
+
+    dv_j = sum_i p_ij^T do_i ; dk_j = scale * sum_i (p_ij (dp_ij - D_i))^T q_i
+    """
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        + pl.program_id(1) * bk
+    )
+    in_len = col < kv_len  # (1, BK) — masks this kv block's columns
+    sq = q_ref.shape[1]
+    num_q_blocks = sq // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]    # (BQ, 1)
+        dsum = dsum_ref[0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(in_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)  # rows with padded lse produce exp(-inf)=0 via s
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dsum)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_attention_fwd_lse(q, k, v, kv_lens, scale: float,
+                             block_q: int = 512, block_k: int = 512,
+                             interpret: bool = False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    d_pad = _round_up(d, 128)
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+    qp = qp.reshape(b * h, sq_pad, d_pad)
+    kp = kp.reshape(b * h, skv_pad, d_pad)
+    vp = vp.reshape(b * h, skv_pad, d_pad)
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), skv, jnp.int32)
+    lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), h)[:, None]
+    grid = (b * h, sq_pad // block_q)
+    kernel = functools.partial(
+        _flash_fwd_lse_kernel, block_k=block_k, scale=scale
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((lens_bh.shape[0], 1), lambda bh, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens_bh, qp, kp, vp)
+    o = o.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+    return o, lse
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_attention_bwd(q, k, v, kv_lens, lse, o, do, scale: float,
+                         block_q: int = 512, block_k: int = 512,
+                         interpret: bool = False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    d_pad = _round_up(d, 128)
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)))
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    qp = qp.reshape(b * h, sq_pad, d_pad)
+    kp = kp.reshape(b * h, skv_pad, d_pad)
+    vp = vp.reshape(b * h, skv_pad, d_pad)
+    dop = dop.reshape(b * h, sq_pad, d_pad)
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), skv, jnp.int32)
+    lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), h)[:, None]
+    # D_i = rowsum(do * o) in f32 (padded rows -> 0)
+    dsum = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).reshape(b * h, sq)
+    dsum = jnp.pad(dsum, ((0, 0), (0, sq_pad - sq)))[:, :, None]
+    # padded q rows carry lse = 0 from the fwd pad; their p = exp(-inf)=0
+    # in the dkv kernel because s is masked by in_len columns... rows are
+    # masked by ds==0 since do rows are 0 -> dsum 0 and p finite*0 terms.
+    common = [
+        pl.BlockSpec((lens_bh.shape[0], 1), lambda *_: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=block_k, scale=scale),
+        grid=(b * h, sq_pad // block_q),
+        in_specs=common + [
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, i: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(lens_bh, qp, kp, vp, dop, lse, dsum)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(b * h, skv_pad // block_k),
+        in_specs=common + [
+            pl.BlockSpec((1, sq_pad, d_pad), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, d_pad), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, 1), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, 1), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skv_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, skv_pad, d_pad), v.dtype),
+        ],
+        interpret=interpret,
+    )(lens_bh, qp, kp, vp, dop, lse, dsum)
+    dq = dq.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+    dk = dk.reshape(b, h, skv_pad, d_pad)[:, :, :skv, :d]
+    dv = dv.reshape(b, h, skv_pad, d_pad)[:, :, :skv, :d]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_diff(q, k, v, kv_lens, scale, interpret=False):
+    return _flash_attention(q, k, v, kv_lens, scale, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, kv_lens, scale, interpret):
+    o, lse = _flash_attention_fwd_lse(
+        q, k, v, kv_lens, scale, interpret=interpret
+    )
+    return o, (q, k, v, kv_lens, lse, o)
+
+
+def _flash_diff_bwd(scale, interpret, res, do):
+    q, k, v, kv_lens, lse, o = res
+    dq, dk, dv = _flash_attention_bwd(
+        q, k, v, kv_lens, lse, o, do, scale, interpret=interpret
+    )
+    dlens = (
+        None
+        if kv_lens is None
+        else np.zeros(kv_lens.shape, jax.dtypes.float0)
+    )
+    return dq, dk, dv, dlens
+
+
+_flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -200,6 +496,10 @@ def dot_product_attention(
 
     kv_lens: optional (B,) int32 — per-row valid KV prefix length.
     impl: None (auto: pallas on TPU, xla elsewhere) | "pallas" | "xla".
+    Differentiable on all paths: the pallas path carries a custom VJP with
+    flash backward kernels (dq pass + dk/dv pass, recompute-based), so
+    full-resolution training runs on TPU where XLA's materializing
+    attention cannot (13-128 GB logits).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -218,7 +518,7 @@ def dot_product_attention(
     if impl == "xla":
         return _xla_attention(q, k, v, scale, kv_lens)
     if impl == "pallas":
-        return _flash_attention(q, k, v, kv_lens, scale)
+        return _flash_attention_diff(q, k, v, kv_lens, scale)
     if impl == "pallas_interpret":
-        return _flash_attention(q, k, v, kv_lens, scale, interpret=True)
+        return _flash_attention_diff(q, k, v, kv_lens, scale, True)
     raise ValueError(f"unknown attention impl {impl!r}")

@@ -142,34 +142,7 @@ def _gn_pallas_eligible(x, num_groups: int, scale, bias) -> bool:
     return io + tmp + l * c * 4 <= 64 * 1024 * 1024
 
 
-def group_norm(
-    x: jnp.ndarray,
-    num_groups: int,
-    scale: Optional[jnp.ndarray] = None,
-    bias: Optional[jnp.ndarray] = None,
-    eps: float = 1e-6,
-    act: Optional[str] = None,
-    impl: Optional[str] = None,
-) -> jnp.ndarray:
-    """GroupNorm over the trailing channel dim of an N...C tensor.
-
-    Statistics are computed over (all spatial dims, channels-in-group) per
-    leading batch dim — equivalent to torch GroupNorm on NCHW after layout
-    transposition (used by every ResNet/transformer block in the reference's
-    UNets). Optional fused activation: "silu".
-
-    impl: None (auto: single-pass pallas kernel on TPU when a batch row
-    fits VMEM, else XLA) | "pallas" | "pallas_interpret" | "xla".
-    """
-    if impl is None:
-        impl = (
-            "pallas" if _gn_pallas_eligible(x, num_groups, scale, bias) else "xla"
-        )
-    if impl in ("pallas", "pallas_interpret"):
-        return _group_norm_pallas(
-            x, scale, bias, num_groups, eps, act,
-            interpret=(impl == "pallas_interpret"),
-        )
+def _group_norm_xla(x, num_groups, scale, bias, eps, act):
     dtype = x.dtype
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
@@ -190,6 +163,64 @@ def group_norm(
     elif act is not None:
         raise ValueError(f"unknown fused activation {act!r}")
     return out.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _group_norm_pallas_diff(x, scale, bias, num_groups, eps, act, interpret):
+    return _group_norm_pallas(x, scale, bias, num_groups, eps, act,
+                              interpret=interpret)
+
+
+def _gn_diff_fwd(x, scale, bias, num_groups, eps, act, interpret):
+    out = _group_norm_pallas(x, scale, bias, num_groups, eps, act,
+                             interpret=interpret)
+    return out, (x, scale, bias)
+
+
+def _gn_diff_bwd(num_groups, eps, act, interpret, res, g):
+    # recompute-based backward through the (numerically equal) XLA math —
+    # the fwd pallas kernel saves only its inputs
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _group_norm_xla(x_, num_groups, s_, b_, eps, act),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_group_norm_pallas_diff.defvjp(_gn_diff_fwd, _gn_diff_bwd)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+    act: Optional[str] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """GroupNorm over the trailing channel dim of an N...C tensor.
+
+    Statistics are computed over (all spatial dims, channels-in-group) per
+    leading batch dim — equivalent to torch GroupNorm on NCHW after layout
+    transposition (used by every ResNet/transformer block in the reference's
+    UNets). Optional fused activation: "silu".
+
+    impl: None (auto: single-pass pallas kernel on TPU when a batch row
+    fits VMEM, else XLA) | "pallas" | "pallas_interpret" | "xla".
+    Differentiable on all paths (the pallas path carries a recompute-based
+    custom VJP through the XLA math).
+    """
+    if impl is None:
+        impl = (
+            "pallas" if _gn_pallas_eligible(x, num_groups, scale, bias) else "xla"
+        )
+    if impl in ("pallas", "pallas_interpret"):
+        return _group_norm_pallas_diff(
+            x, scale, bias, num_groups, eps, act, impl == "pallas_interpret"
+        )
+    return _group_norm_xla(x, num_groups, scale, bias, eps, act)
 
 
 def layer_norm(

@@ -108,7 +108,8 @@ def main():
         ),
     )
     state = jax.device_put(state, state_sh)
-    step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None))
+    step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None),
+                      donate_argnums=(0,))
 
     from mmgt_tpu.training.stage2 import encode_clip_batch
 

@@ -133,7 +133,8 @@ def main():
         ),
     )
     state = jax.device_put(state, state_sh)
-    step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None))
+    step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None),
+                      donate_argnums=(0,))
     clip_fn = jax.jit(
         lambda imgs: encode_clip_batch(clip_model, clip_params, imgs)
     )

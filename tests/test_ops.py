@@ -122,3 +122,67 @@ def test_group_norm_pallas_matches_xla():
                 np.asarray(out), np.asarray(ref), atol=3e-5,
                 err_msg=f"{shape} act={act}",
             )
+
+
+def test_flash_attention_backward_matches_xla():
+    """Pallas flash-attention custom VJP (dq + dkv kernels) == XLA autodiff,
+    including variable KV lengths — enables full-resolution TPU training
+    where materializing attention cannot run."""
+    import numpy as np
+
+    from mmgt_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.default_rng(0)
+    b, h, sq, skv, d = 2, 3, 260, 390, 40
+    q = jnp.asarray(rng.standard_normal((b, h, sq, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, skv, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, skv, d)) * 0.5, jnp.float32)
+    do = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.float32)
+    for lens in (None, jnp.asarray([390, 200], jnp.int32)):
+        gp = jax.grad(
+            lambda *a: jnp.sum(
+                dot_product_attention(*a, kv_lens=lens, impl="pallas_interpret") * do
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gx = jax.grad(
+            lambda *a: jnp.sum(
+                dot_product_attention(*a, kv_lens=lens, impl="xla") * do
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for name, a, b_ in zip(("dq", "dk", "dv"), gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-6,
+                err_msg=f"{name} lens={lens}",
+            )
+
+
+def test_group_norm_pallas_backward_matches_xla():
+    import numpy as np
+
+    from mmgt_tpu.ops.norms import group_norm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 320)), jnp.float32)
+    sc = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    bi = jnp.asarray(rng.standard_normal(320), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    for act in (None, "silu"):
+        gp = jax.grad(
+            lambda x_, s_, b_: jnp.sum(
+                group_norm(x_, 32, s_, b_, 1e-5, act, "pallas_interpret") * g
+            ),
+            argnums=(0, 1, 2),
+        )(x, sc, bi)
+        gx = jax.grad(
+            lambda x_, s_, b_: jnp.sum(
+                group_norm(x_, 32, s_, b_, 1e-5, act, "xla") * g
+            ),
+            argnums=(0, 1, 2),
+        )(x, sc, bi)
+        for name, a, b_ in zip(("dx", "dscale", "dbias"), gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4,
+                err_msg=f"{name} act={act}",
+            )
