@@ -311,3 +311,46 @@ def test_gesture_diffusion_tables_match_reference():
             getattr(gd, name).numpy(),
             atol=1e-5, rtol=1e-3, err_msg=name,
         )
+
+
+@pytest.mark.slow
+def test_smga_decoder_matches_reference_full_size():
+    """Full production config (latent 512, 8 layers, 8 heads, wavlm 1059-d
+    cond, horizon 80) — the converter and architecture at real scale."""
+    _ref_src_path()
+    ref = pytest.importorskip("audio2pose_model.model")
+    from mmgt_tpu.models.smga import GestureDecoder
+
+    T = 80
+    tm = ref.GestureDecoder(
+        nfeats=402, seq_len=T, latent_dim=512, ff_size=1024, num_layers=8,
+        num_heads=8, dropout=0.0, cond_feature_dim=1024 + 35,
+    ).eval()
+    sd = cv.split_packed_qkv(
+        {k: v.numpy() for k, v in tm.state_dict().items()}
+    )
+    ours = GestureDecoder()  # defaults == production config
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, T, 402)).astype(np.float32)
+    cf = rng.standard_normal((1, 402)).astype(np.float32)
+    cond = rng.standard_normal((1, T, 1059)).astype(np.float32)
+    t = np.array([421], np.int64)
+
+    tree = jax.eval_shape(
+        lambda: ours.init(
+            jax.random.PRNGKey(0), jnp.zeros_like(x), jnp.zeros_like(cf),
+            jnp.zeros_like(cond), jnp.zeros((1,), jnp.int32),
+        )
+    )
+    params, report = cv.convert(tree, [sd], cv.map_smga)
+    assert not report["missing"], report["missing"][:5]
+    got = ours.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x), jnp.asarray(cf),
+        jnp.asarray(cond), jnp.asarray(t, jnp.int32),
+    )
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(x), torch.from_numpy(cf), torch.from_numpy(cond),
+            torch.from_numpy(t), cond_drop_prob=0.0,
+        ).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
