@@ -23,6 +23,17 @@ import numpy as np
 from mmgt_tpu.data.rasterize import VIS_THRESH  # noqa: F401  (re-export)
 
 
+def _epoch_order(rng: np.random.Generator, n: int, batch_size: int) -> np.ndarray:
+    """Shuffled index order, oversampled (with reshuffles) when the dataset
+    is smaller than one batch — a 1-record dataset must still yield batches
+    (previously `range(0, n - batch_size + 1)` was empty and the epoch loop
+    spun forever)."""
+    parts = [rng.permutation(n)]
+    while sum(len(p) for p in parts) < batch_size:
+        parts.append(rng.permutation(n))
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 class GestureDataset:
     """Stage-1 items: (keypoints (T,402), cond_frame (402,), features (T,Dc))."""
 
@@ -59,7 +70,7 @@ class GestureDataset:
                 drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
         while True:
-            order = rng.permutation(len(self.items))
+            order = _epoch_order(rng, len(self.items), batch_size)
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 idx = order[s : s + batch_size]
                 items = [self[int(i)] for i in idx]
@@ -195,7 +206,7 @@ class TalkingVideoDataset:
                 ) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
         while True:
-            idx = rng.permutation(len(self.records))
+            idx = _epoch_order(rng, len(self.records), batch_size)
             for s in range(0, len(idx) - batch_size + 1, batch_size):
                 items = []
                 for i in idx[s : s + batch_size]:
@@ -263,7 +274,7 @@ class HumanDanceDataset:
                 ) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
         while True:
-            idx = rng.permutation(len(self.records))
+            idx = _epoch_order(rng, len(self.records), batch_size)
             for s in range(0, len(idx) - batch_size + 1, batch_size):
                 items = [self.sample(int(i), rng) for i in idx[s : s + batch_size]]
                 yield {k: np.stack([it[k] for it in items]) for k in items[0]}

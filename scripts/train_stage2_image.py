@@ -31,7 +31,10 @@ def main():
     args = ap.parse_args()
 
     if args.tiny:
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (in-process test run)
 
     from mmgt_tpu.config import Stage2ImageTrainConfig, load_config
     from mmgt_tpu.data.datasets import HumanDanceDataset

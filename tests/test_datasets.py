@@ -126,3 +126,22 @@ def test_dataset_pyramid_modes(tmp_path):
     assert l1_resize.shape == l1_pool.shape
     # the modes genuinely differ (antialiased triangle vs box mean)
     assert np.abs(l1_resize - l1_pool).max() > 1e-4
+
+
+def test_batches_smaller_dataset_than_batch(tmp_path):
+    """A dataset with fewer records than the batch size still yields
+    batches (previously the epoch loop spun forever)."""
+    rec = tmp_path / "r.npz"
+    rng = np.random.default_rng(2)
+    np.savez(
+        rec,
+        frames=rng.integers(0, 255, (40, 16, 16, 3)).astype(np.uint8),
+        pose=rng.integers(0, 255, (40, 16, 16, 3)).astype(np.uint8),
+    )
+    meta = tmp_path / "m.json"
+    meta.write_text(json.dumps([str(rec)]))
+    from mmgt_tpu.data.datasets import HumanDanceDataset
+
+    ds = HumanDanceDataset([str(meta)])
+    batch = next(ds.batches(batch_size=4, seed=0))
+    assert batch["tgt_image"].shape[0] == 4
