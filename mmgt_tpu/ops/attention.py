@@ -35,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Mosaic's default scoped-VMEM limit is 16 MB; the VAE mid-attention shape
+# (4096 tokens x d=512 single-head, batch 8) needs ~18 MB of stack for its
+# full-KV blocks. v5e has 128 MB VMEM — raise the per-kernel limit.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _xla_attention(q, k, v, scale, kv_lens=None):
     """Reference implementation (used on CPU and for testing)."""
@@ -147,6 +152,7 @@ def _flash_attention(q, k, v, kv_lens, scale: float, block_q: int = 512,
             transcendentals=b * h * sq * skv,
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(lens_bh, qp, kp, vp)
 
     out = out.reshape(b, h, sq_pad, d_pad)
@@ -358,6 +364,7 @@ def _flash_attention_fwd_lse(q, k, v, kv_lens, scale: float,
             jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(lens_bh, qp, kp, vp)
     o = o.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
     return o, lse
@@ -392,9 +399,11 @@ def _flash_attention_bwd(q, k, v, kv_lens, lse, o, do, scale: float,
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     ).reshape(b * h, sq)
     dsum = jnp.pad(dsum, ((0, 0), (0, sq_pad - sq)))[:, :, None]
-    # padded q rows carry lse = 0 from the fwd pad; their p = exp(-inf)=0
-    # in the dkv kernel because s is masked by in_len columns... rows are
-    # masked by ds==0 since do rows are 0 -> dsum 0 and p finite*0 terms.
+    # NOTE: padded q rows do NOT carry lse = 0 — the forward kernel gives
+    # them lse = log(kv_len) (s = 0 over valid columns), so their p in the
+    # dkv kernel is 1/kv_len, not 0. Their dk/dv contribution is neutralized
+    # solely by do = 0 on those rows (hence dsum = 0 and p^T.do = 0). Do not
+    # rely on lse alone to mask padded rows.
     common = [
         pl.BlockSpec((lens_bh.shape[0], 1), lambda *_: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -420,6 +429,7 @@ def _flash_attention_bwd(q, k, v, kv_lens, lse, o, do, scale: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(lens_bh, qp, kp, vp, dop, lse, dsum)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, block_q=block_q, scale=scale),
@@ -449,6 +459,7 @@ def _flash_attention_bwd(q, k, v, kv_lens, lse, o, do, scale: float,
             jax.ShapeDtypeStruct((b * h, skv_pad, d_pad), v.dtype),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(lens_bh, qp, kp, vp, dop, lse, dsum)
     dq = dq.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
     dk = dk.reshape(b, h, skv_pad, d_pad)[:, :, :skv, :d]

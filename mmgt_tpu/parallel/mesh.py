@@ -91,6 +91,30 @@ def _spec_for(path: Tuple[str, ...], shape: Tuple[int, ...], tp_enabled: bool):
     return P()
 
 
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any) -> Any:
+    """Sharding pytree for an optax state matching `params`' shardings.
+
+    Any subtree of the optimizer state that mirrors the param tree
+    (Adam/Adan moments, MultiSteps grad accumulators) gets the params'
+    TP shardings; scalar leaves (counts) are replicated. Moments are
+    2-3x param bytes — replicating them under TP forfeits exactly the
+    memory headroom TP exists to buy.
+    """
+    pdef = jax.tree_util.tree_structure(params)
+    p_sh = param_shardings(mesh, params)
+    rep = replicated(mesh)
+
+    def match(x):
+        try:
+            return jax.tree_util.tree_structure(x) == pdef
+        except Exception:
+            return False
+
+    flat, treedef = jax.tree_util.tree_flatten(opt_state, is_leaf=match)
+    out = [p_sh if match(x) else rep for x in flat]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding pytree for a param tree: TP rules + replication."""
     tp_enabled = mesh.shape.get("tp", 1) > 1

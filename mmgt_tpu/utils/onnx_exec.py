@@ -122,6 +122,20 @@ def _resize(x, scales, sizes, attrs):
     else:
         sc = _np(scales).astype(np.float64)
         out_shape = tuple(int(round(d * s)) for d, s in zip(x.shape, sc))
+    # jax.image.resize matches onnxruntime only for integer-factor nearest
+    # upsampling (the YOLOX PAFPN case) or half_pixel linear; other
+    # coordinate_transformation_modes would silently drift — fail loudly.
+    ctm = attrs.get("coordinate_transformation_mode", "half_pixel")
+    integer_up = all(
+        o % d == 0 for d, o in zip(x.shape, out_shape)
+    )
+    if ctm not in ("half_pixel", "pytorch_half_pixel") and not (
+        mode == "nearest" and ctm == "asymmetric" and integer_up
+    ):
+        raise NotImplementedError(
+            f"Resize coordinate_transformation_mode={ctm!r} (mode={mode!r}) "
+            "not supported: jax.image.resize uses half-pixel sampling"
+        )
     method = {"nearest": "nearest", "linear": "bilinear", "cubic": "bicubic"}[mode]
     return jax.image.resize(x, out_shape, method)
 

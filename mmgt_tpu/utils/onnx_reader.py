@@ -276,7 +276,8 @@ def fold_batchnorms(
         wname = src["input"][1]
         scale, bias, mean, var = (inits[k] for k in n["input"][1:5])
         w = out[wname].astype(np.float64)
-        inv = scale / np.sqrt(var + eps)
+        node_eps = float(n.get("attrs", {}).get("epsilon", eps))
+        inv = scale / np.sqrt(var + node_eps)
         out[wname] = (w * inv.reshape(-1, *([1] * (w.ndim - 1)))).astype(
             inits[wname].dtype
         )

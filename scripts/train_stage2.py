@@ -35,6 +35,7 @@ def main():
     from mmgt_tpu.parallel.mesh import (
         batch_sharding,
         create_mesh,
+        opt_state_shardings,
         param_shardings,
         replicated,
     )
@@ -101,11 +102,7 @@ def main():
         step=replicated(mesh),
         trainable=param_shardings(mesh, state.trainable),
         frozen=param_shardings(mesh, state.frozen),
-        opt_state=jax.tree.map(
-            lambda x: replicated(mesh),
-            state.opt_state,
-            is_leaf=lambda x: hasattr(x, "shape"),
-        ),
+        opt_state=opt_state_shardings(mesh, state.opt_state, state.trainable),
     )
     state = jax.device_put(state, state_sh)
     step_fn = jax.jit(trainer.train_step, out_shardings=(state_sh, None),
@@ -115,9 +112,12 @@ def main():
 
     clip_model = loaded.get("clip_model")
     clip_params = loaded.get("clip_params")
-    clip_fn = jax.jit(
-        lambda imgs: encode_clip_batch(clip_model, clip_params, imgs)
+    # clip_params is a jit *argument* (XLA parameter), not a closure
+    # constant: embedded constants >~100 MB break the remote compile relay.
+    _clip_raw = jax.jit(
+        lambda p, imgs: encode_clip_batch(clip_model, p, imgs)
     )
+    clip_fn = lambda imgs: _clip_raw(clip_params, imgs)
 
     it = ds.batches(bs, cfg.seed)
     mlog = MetricsLogger(cfg.checkpoint_dir, "train_stage2")

