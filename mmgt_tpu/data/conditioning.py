@@ -54,7 +54,7 @@ def _blur_norm(mask: jnp.ndarray, ksize: int, base: int = 64) -> jnp.ndarray:
         ksize = base if base % 2 == 1 else base - 1
     m = resize_bilinear(mask, (base, base))
     m = gaussian_blur(m, ksize)
-    return normalize_minmax(m)
+    return normalize_minmax(m, axis=(-2, -1))  # per-frame, like blur_mask
 
 
 def prepare_conditioning_from_keypoints(

@@ -209,8 +209,9 @@ class DWPoseDetector:
         raw = np.asarray(self.det_fn(padded[None]))
         boxes = detect_person_boxes(raw, ratio)
         if len(boxes) == 0:
+            # full-image fallback box (onnxpose.py:27-28 uses [0,0,W,H])
             boxes = np.array(
-                [[0, 0, img.shape[1] - 1, img.shape[0] - 1]], np.float32
+                [[0, 0, img.shape[1], img.shape[0]]], np.float32
             )
         crops, centers, scales = [], [], []
         for b in boxes:

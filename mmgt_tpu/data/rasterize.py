@@ -103,14 +103,19 @@ def _circle_mask(r, c, p, radius, valid):
 
 
 def _bbox_mask(r, c, pts, valid):
-    """Axis-aligned bbox over valid points (util.py:208-233,349-380)."""
+    """Axis-aligned bbox over valid points (util.py:208-233,349-380).
+
+    The reference truncates each coordinate to int BEFORE taking min/max
+    and fills canvas[min_y:max_y, min_x:max_x] — reproduce the floor for
+    pixel-exact bboxes (verified vs the reference drawing in
+    tests/test_rasterize_ref.py)."""
     big = 1e9
-    xs = jnp.where(valid, pts[:, 0], big)
-    ys = jnp.where(valid, pts[:, 1], big)
-    min_x, min_y = jnp.min(xs), jnp.min(ys)
-    xs = jnp.where(valid, pts[:, 0], -big)
-    ys = jnp.where(valid, pts[:, 1], -big)
-    max_x, max_y = jnp.max(xs), jnp.max(ys)
+    px = jnp.floor(pts[:, 0])
+    py = jnp.floor(pts[:, 1])
+    min_x = jnp.min(jnp.where(valid, px, big))
+    min_y = jnp.min(jnp.where(valid, py, big))
+    max_x = jnp.max(jnp.where(valid, px, -big))
+    max_y = jnp.max(jnp.where(valid, py, -big))
     ok = (min_x < max_x) & (min_y < max_y)
     inside = (c >= min_x) & (c < max_x) & (r >= min_y) & (r < max_y)
     return inside & ok
@@ -128,10 +133,13 @@ def rasterize_frame(
     # ---- pose skeleton map
     canvas = jnp.zeros((h, w, 3), jnp.float32)
     limbs = jnp.asarray(LIMB_SEQ)
+    # half-width 4.5 ≈ cv2.fillConvexPoly of ellipse2Poly(.., 4, ..) —
+    # cv2's polygon fill is boundary-inclusive (calibrated IoU 0.92 vs
+    # 0.85 at 4.0; tests/test_rasterize_ref.py)
     for i in range(17):
         a, b = LIMB_SEQ[i]
         valid = vis[a] & vis[b]
-        m = _ellipse_mask(r, c, xy[a], xy[b], 4.0, valid)
+        m = _ellipse_mask(r, c, xy[a], xy[b], 4.5, valid)
         canvas = _paint(canvas, m, jnp.asarray(BODY_COLORS[i]))
     canvas = canvas * 0.9
     for i in range(18):
@@ -143,7 +151,8 @@ def rasterize_frame(
         hvis = vis[hand0 : hand0 + 21]
         for ei in range(len(HAND_EDGES)):
             a, b = HAND_EDGES[ei]
-            m = _segment_mask(r, c, pts[a], pts[b], 1.0, hvis[a] & hvis[b])
+            # radius 1.5 ≈ cv2.line thickness=2 (boundary-inclusive)
+            m = _segment_mask(r, c, pts[a], pts[b], 1.5, hvis[a] & hvis[b])
             canvas = _paint(canvas, m, jnp.asarray(HAND_COLORS[ei]))
         for j in range(21):
             m = _circle_mask(r, c, pts[j], 4.0, hvis[j])

@@ -50,10 +50,14 @@ def resize_bilinear(img: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(img, out_shape, "bilinear")
 
 
-def normalize_minmax(x: jnp.ndarray) -> jnp.ndarray:
-    """Min-max normalize to [0, 1] (cv2.NORM_MINMAX semantics / 255)."""
-    lo = jnp.min(x)
-    hi = jnp.max(x)
+def normalize_minmax(x: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """Min-max normalize to [0, 1] (cv2.NORM_MINMAX semantics / 255).
+
+    `axis` selects the reduction dims — the reference's blur_mask
+    (scripts/audio2vid.py:150) normalizes each frame independently, so
+    clip-shaped (T, H, W) inputs must pass axis=(-2, -1)."""
+    lo = jnp.min(x, axis=axis, keepdims=axis is not None)
+    hi = jnp.max(x, axis=axis, keepdims=axis is not None)
     return (x - lo) / jnp.maximum(hi - lo, 1e-8)
 
 

@@ -485,6 +485,32 @@ def load_dwpose_weights(onnx_path: str, target_tree: Any, which: str):
     return convert(target_tree, [sd], MAPPERS[which])
 
 
+def split_net_checkpoint(
+    sd: Dict[str, np.ndarray],
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a reference Net-wrapper state dict into per-module dicts.
+
+    The trained stage-2 checkpoint `net-*.pth` is the state dict of
+    Net(reference_unet, denoising_unet, pose_guider, audioproj)
+    (reference scripts/audio2vid.py:39-61, train_stage_2.py) — every key
+    is prefixed with the wrapper attribute name. Returns
+    {"reference_unet": {...}, "denoising_unet": {...}, "pose_guider":
+    {...}, "audioproj": {...}} with prefixes stripped (unprefixed keys are
+    ignored)."""
+    out: Dict[str, Dict[str, np.ndarray]] = {
+        "reference_unet": {},
+        "denoising_unet": {},
+        "pose_guider": {},
+        "audioproj": {},
+    }
+    for k, v in sd.items():
+        for prefix, d in out.items():
+            if k.startswith(prefix + "."):
+                d[k[len(prefix) + 1 :]] = v
+                break
+    return out
+
+
 # ----------------------------------------------------------------- convert
 def convert(
     target_tree: Any,

@@ -53,6 +53,10 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
         for p in sd_paths:
             if p is None:
                 continue
+            if isinstance(p, dict):  # pre-loaded/pre-split state dict
+                if p:
+                    sds.append(p)
+                continue
             try:
                 sds.append(cv.load_torch_state_dict(str(p)))
             except Exception as e:  # pragma: no cover
@@ -73,6 +77,19 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
                   "keep their init")
         return jax.tree.map(jnp.asarray, new)
 
+    # net-*.pth is the Net-wrapper checkpoint: split it into per-module
+    # state dicts (reference audio2vid.py:266-272 loads it with strict
+    # prefixed keys).
+    net_ckpt = _find(root, "net-*.pth", "modules/net-*.pth")
+    net_parts = {}
+    if net_ckpt is not None:
+        try:
+            net_parts = cv.split_net_checkpoint(
+                cv.load_torch_state_dict(str(net_ckpt))
+            )
+        except Exception as e:  # pragma: no cover
+            _warn(f"net ckpt: failed to read {net_ckpt}: {e}")
+
     params["vae"] = try_convert(
         "vae",
         params["vae"],
@@ -85,6 +102,7 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
         [
             _find(root, "stable-diffusion-v1-5/unet/diffusion_pytorch_model.*"),
             _find(root, "reference_unet-*.pth"),
+            net_parts.get("reference_unet"),
         ],
         cv.map_unet2d,
     )
@@ -95,7 +113,7 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
             _find(root, "stable-diffusion-v1-5/unet/diffusion_pytorch_model.*"),
             _find(root, "mm_sd_v15_v2.ckpt"),
             _find(root, "denoising_unet-*.pth"),
-            _find(root, "net-*.pth"),
+            net_parts.get("denoising_unet"),
         ],
         cv.map_unet3d,
         # bare-SD1.5 loads legitimately lack the motion/audio modules
@@ -107,11 +125,12 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
     params["pose_guider"] = try_convert(
         "pose_guider",
         params["pose_guider"],
-        [_find(root, "pose_guider-*.pth")],
+        [_find(root, "pose_guider-*.pth"), net_parts.get("pose_guider")],
         cv.map_pose_guider,
     )
     params["audio_proj"] = try_convert(
-        "audio_proj", params["audio_proj"], [_find(root, "audio_proj*.pth")],
+        "audio_proj", params["audio_proj"],
+        [_find(root, "audio_proj*.pth"), net_parts.get("audioproj")],
         cv.map_audio_proj,
     )
     dt = pose2vid.denoising_unet.dtype
