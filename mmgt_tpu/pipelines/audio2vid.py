@@ -109,6 +109,18 @@ class Audio2VideoPipeline:
             self._clip = jax.jit(
                 lambda p, img: self.clip_model.apply(p, clip_preprocess(img))
             )
+        # One jitted program for keypoints -> pose video + mask pyramids.
+        # Eager execution here was the round-2 bench's largest untracked
+        # cost: hundreds of op-by-op dispatches through the remote relay.
+        import functools as _ft
+
+        self._prepare_cond = jax.jit(
+            _ft.partial(
+                prepare_conditioning_from_keypoints,
+                height=self.config.height,
+                width=self.config.width,
+            )
+        )
 
     # ---------------------------------------------------- stage 1 driver
     def generate_pose(
@@ -168,6 +180,11 @@ class Audio2VideoPipeline:
         wav = load_wav(wav_path, SAMPLE_RATE)
         rng, pose_rng, gen_rng = jax.random.split(rng, 3)
 
+        def _sync(x):
+            # relay-safe completion barrier (block_until_ready is a no-op
+            # on this transport): fetch one element
+            np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
         t0 = _time.time()
         keypoints = self.generate_pose(pose_rng, wav, init_keypoints)
         # generate_pose ends in host numpy -> device is drained here
@@ -175,10 +192,12 @@ class Audio2VideoPipeline:
         L = min(len(keypoints), video_length or cfg.video_length)
         keypoints = keypoints[:L]
 
-        cond = prepare_conditioning_from_keypoints(
-            jnp.asarray(keypoints), cfg.height, cfg.width
-        )
+        t0 = _time.time()
+        cond = self._prepare_cond(jnp.asarray(keypoints))
+        _sync(cond["pose_video"])
+        self.timings["conditioning_s"] = _time.time() - t0
 
+        t0 = _time.time()
         if self.audio_processor is not None:
             audio_embeds, _ = self.audio_processor.preprocess(wav_path, clip_length=L)
             audio_embeds = audio_embeds[:, :L]
@@ -190,6 +209,8 @@ class Audio2VideoPipeline:
             clip_embed = self._clip(self.clip_params, ref)
         else:
             clip_embed = jnp.zeros((1, 1, 768))
+        _sync(clip_embed)
+        self.timings["audio_clip_s"] = _time.time() - t0
 
         t1 = _time.time()
         frames = self.pose2vid(
@@ -204,10 +225,17 @@ class Audio2VideoPipeline:
             guidance_scale=cfg.guidance_scale,
             motion_scale=cfg.motion_scale,
         )
-        out_frames = np.asarray(frames[0])  # sync point: stage-2 done
+        _sync(frames)
         self.timings["stage2_s"] = _time.time() - t1
+        t0 = _time.time()
+        out_frames = np.asarray(frames[0])  # full-clip host fetch
+        self.timings["fetch_s"] = _time.time() - t0
+        for k, v in getattr(self.pose2vid, "timings", {}).items():
+            self.timings[f"stage2_{k}"] = v
         return {
             "frames": out_frames,
             "keypoints": keypoints,
-            "pose_video": np.asarray(cond["pose_video"][0]),
+            # left on device: a float32 512^2x80f fetch is 251 MB over the
+            # relay — np.asarray() it only if you actually save it
+            "pose_video": cond["pose_video"][0],
         }

@@ -71,6 +71,14 @@ class Pose2VideoPipeline:
     # axis over "dp" — the TPU-native replacement for the reference's
     # sequential window loop at multi-chip scale (SURVEY §5.7)
     mesh: Optional[Any] = None
+    # return frames as uint8 (0..255) instead of float32 [0,1]: pixels are
+    # the final product (the reference writes mp4), and a float32 fetch of
+    # an 80-frame 512^2 clip is 251 MB over the remote relay vs 63 MB
+    output_uint8: bool = False
+    # when True, __call__ syncs after prepare/denoise/decode and fills
+    # self.timings with per-phase seconds (each sync costs one ~25 ms tiny
+    # fetch on the remote relay; leave off when not profiling)
+    profile_phases: bool = False
 
     @classmethod
     def build(cls, dtype=jnp.bfloat16, **kwargs) -> "Pose2VideoPipeline":
@@ -105,6 +113,13 @@ class Pose2VideoPipeline:
         progress visibility, this bounds single-execution runtime, which
         remote-attached TPU transports cap.)
         """
+        import time as _time
+
+        def _sync(x):
+            # the remote relay ignores block_until_ready; a 1-element fetch
+            # is the only reliable completion barrier
+            np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
         f = pose_video.shape[1]
         state = self.scheduler.init(num_inference_steps)
         windows = jnp.asarray(
@@ -113,9 +128,15 @@ class Pose2VideoPipeline:
             )
         )
         masks = tuple(tuple(lv) for lv in masks)
+        t0 = _time.time()
         cond, latents = self._prepare(
             params, rng, ref_image, pose_video, clip_embed, masks, audio_embeds
         )
+        self.timings: Dict[str, float] = {}
+        if self.profile_phases:
+            _sync(latents)
+            self.timings["prepare_s"] = _time.time() - t0
+            t0 = _time.time()
         k = _largest_divisor_at_most(
             num_inference_steps, self.steps_per_launch or num_inference_steps
         )
@@ -130,7 +151,15 @@ class Pose2VideoPipeline:
                 guidance_scale,
                 tuple(motion_scale),
             )
-        return self._decode(params, latents)
+        if self.profile_phases:
+            _sync(latents)
+            self.timings["denoise_s"] = _time.time() - t0
+            t0 = _time.time()
+        frames = self._decode(params, latents)
+        if self.profile_phases:
+            _sync(frames)
+            self.timings["decode_s"] = _time.time() - t0
+        return frames
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _prepare(
@@ -301,7 +330,10 @@ class Pose2VideoPipeline:
         )
         frames = jax.lax.map(decode, lat_chunks)
         frames = frames.reshape(1, f, *frames.shape[2:])
-        return jnp.clip(frames.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        frames = jnp.clip(frames.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        if self.output_uint8:
+            return jnp.round(frames * 255.0).astype(jnp.uint8)
+        return frames
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, height: int = 512, width: int = 512
