@@ -174,6 +174,23 @@ def bench_audio2vid(fixture: bool = False):
         if tot < best:
             best = tot
             comp = dict(a2v.timings)
+
+    if STEPS == 25 and not fixture:
+        # Proposed fidelity-relaxed row toward the <10 s north star
+        # (PERF.md): 15 trailing DDIM steps. The step count is *config* in
+        # the reference (animation.yaml:28-29 ships 30); the trailing
+        # zero-SNR schedule subsamples, so fewer steps is a quality knob,
+        # not an algorithm change. Mutating the config on the SAME pipeline
+        # instance reuses every compiled program (identical 5-step chunk
+        # shapes) — no extra compile.
+        import dataclasses as _dc
+
+        a2v.config = _dc.replace(a2v.config, num_inference_steps=15)
+        t0 = time.time()
+        a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
+            video_length=FRAMES)
+        comp["audio2vid_fast15_s"] = time.time() - t0
+        a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
     return best, comp, compile_s
 
 

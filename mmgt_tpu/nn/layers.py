@@ -19,6 +19,9 @@ from flax import linen as nn
 from mmgt_tpu.ops.attention import (
     dot_product_attention,
     dot_product_attention_bshd,
+    packed_attention,
+    packed_slab,
+    use_packed_attention,
 )
 from mmgt_tpu.ops.norms import group_norm, layer_norm
 
@@ -121,12 +124,71 @@ class FeedForward(nn.Module):
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
+class _PackedQKV(nn.Module):
+    """Dense projection whose weight columns are scattered into per-head
+    128-lane slabs, writing the flash kernel's operand layout directly —
+    no pad / head-transpose ops (see ops.attention lane-packed notes).
+
+    Param layout is IDENTICAL to nn.Dense(use_bias=False): one "kernel"
+    of shape (in_dim, heads*d) — checkpoints are oblivious to packing."""
+
+    heads: int
+    d: int
+    slab: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.heads * self.d), jnp.float32,
+        )
+        wp = jnp.zeros((in_dim, self.heads, self.slab), self.dtype)
+        wp = wp.at[..., : self.d].set(
+            w.astype(self.dtype).reshape(in_dim, self.heads, self.d)
+        )
+        return x @ wp.reshape(in_dim, self.heads * self.slab)
+
+
+class _PackedOut(nn.Module):
+    """Output projection consuming lane-packed (B, L, H*slab) activations
+    with an nn.Dense-identical (heads*d, out_dim) "kernel" + "bias"."""
+
+    heads: int
+    d: int
+    slab: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, o: jnp.ndarray) -> jnp.ndarray:
+        init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        w = self.param(
+            "kernel", init, (self.heads * self.d, self.out_dim), jnp.float32
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        wp = jnp.zeros((self.heads, self.slab, self.out_dim), self.dtype)
+        wp = wp.at[:, : self.d].set(
+            w.astype(self.dtype).reshape(self.heads, self.d, self.out_dim)
+        )
+        return o @ wp.reshape(self.heads * self.slab, self.out_dim) + b.astype(
+            self.dtype
+        )
+
+
 class Attention(nn.Module):
     """Multi-head attention with separate context (cross) input.
 
     to_q/to_k/to_v have no bias, to_out has bias (diffusers Attention
     layout) so reference checkpoints map 1:1. Runs the Pallas flash kernel
-    on TPU via `mmgt_tpu.ops.dot_product_attention`.
+    on TPU via `mmgt_tpu.ops.dot_product_attention`; long-sequence
+    non-lane-aligned head dims route through the lane-packed kernel
+    (same math, no layout ops — see ops.attention).
     """
 
     heads: int
@@ -152,6 +214,22 @@ class Attention(nn.Module):
         # projections (fed zero-length token slices so the params still
         # exist for checkpoint parity) and the attention kernel entirely.
         single_kv = context is not None and context.shape[1] == 1 and kv_lens is None
+        if not single_kv and use_packed_attention(lq, ctx.shape[1], self.head_dim):
+            slab = packed_slab(self.head_dim)
+            qp = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
+                            name="to_q")(x)
+            kp = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
+                            name="to_k")(ctx)
+            vp = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
+                            name="to_v")(ctx)
+            o = packed_attention(
+                qp, kp, vp, kv_lens, 1.0 / math.sqrt(self.head_dim), slab,
+                self.head_dim,
+            )
+            return _PackedOut(
+                self.heads, self.head_dim, slab, out_dim, self.dtype,
+                self.zero_init_out, name="to_out",
+            )(o)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
             x[:, :0] if single_kv else x
         )

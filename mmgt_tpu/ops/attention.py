@@ -495,6 +495,160 @@ def _flash_diff_bwd(scale, interpret, res, do):
 _flash_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
+# ----------------------------------------------------- lane-packed attention
+# The UNet's head_dim is 40 (320ch/8h) / 80 / 160 — not lane-aligned. The
+# classic BHSD route costs, per denoising group (xplane trace, PERF.md r3):
+# ~131 ms of d->128 pad ops, ~168 ms of layout copies, and forces the q/k/v
+# projections into pathological {1,2,0} layouts that run at ~4% MXU
+# (~12 ms each). The lane-packed route removes ALL of that: the projection
+# WEIGHTS are scattered into per-head 128-lane slabs, so the projection
+# matmul writes (B, S, H*slab) — already the flash kernel's operand layout.
+# The kernel grid gains a head axis whose BlockSpec slices 128-aligned lane
+# slabs (cheap in Mosaic; the 40-lane slicing that lost 2x in r2 was
+# sub-lane-aligned). Padded lanes are exact zeros in q/k/v (zero weight
+# columns), so logits and outputs are unchanged.
+PACKED_MIN_SEQ = 512
+FORCE_PACKED_INTERPRET = False  # tests: route through the packed kernel
+
+
+def packed_slab(head_dim: int) -> int:
+    return _round_up(head_dim, 128)
+
+
+def use_packed_attention(lq: int, lk: int, head_dim: int) -> bool:
+    """Static (trace-time) routing decision for the lane-packed path."""
+    if FORCE_PACKED_INTERPRET:
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and lq >= PACKED_MIN_SEQ
+        and lk >= PACKED_MIN_SEQ
+        and head_dim % 128 != 0
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "slab", "block_q", "block_k", "interpret")
+)
+def _flash_attention_packed_fwd(q, k, v, kv_lens, scale: float, slab: int,
+                                block_q: int = 512, block_k: int = 512,
+                                interpret: bool = False):
+    """q/k/v: (B, S, H*slab) lane-packed. Returns (o (B, Sq, H*slab),
+    lse (B*H, Sq_pad, 1) f32 — the BHSD kernels' lse layout; Mosaic
+    requires the last block dim be lane-aligned or the full dim, so the
+    head lives in dim 0 via the index map). Reuses the standard flash
+    kernel body — the head axis lives in the grid and the BlockSpec lane
+    maps."""
+    b, sq, hs = q.shape
+    h = hs // slab
+    skv = k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_k)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        k = jnp.pad(k, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, skv_pad - skv), (0, 0)))
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), skv, jnp.int32)
+    lens = kv_lens.astype(jnp.int32)[:, None]
+
+    grid = (b, h, sq_pad // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_lse_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb, hh, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, slab), lambda bb, hh, i: (bb, i, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, slab), lambda bb, hh, i: (bb, 0, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, slab), lambda bb, hh, i: (bb, 0, hh),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, slab), lambda bb, hh, i: (bb, i, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda bb, hh, i, h=h: (bb * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_pad, h * slab), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * slab,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(lens, q, k, v)
+    return o[:, :sq], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def packed_attention(q, k, v, kv_lens, scale: float, slab: int, d_real: int):
+    """Differentiable lane-packed flash attention over (B, S, H*slab).
+
+    Lanes d_real..slab of every head slab must be zero in q/k/v (they are,
+    when projected with slab-packed weights); the output carries zeros
+    there too."""
+    o, _ = _flash_attention_packed_fwd(
+        q, k, v, kv_lens, scale, slab, interpret=FORCE_PACKED_INTERPRET
+    )
+    return o
+
+
+def _packed_diff_fwd(q, k, v, kv_lens, scale, slab, d_real):
+    o, lse = _flash_attention_packed_fwd(
+        q, k, v, kv_lens, scale, slab, interpret=FORCE_PACKED_INTERPRET
+    )
+    return o, (q, k, v, kv_lens, lse, o)
+
+
+def _packed_diff_bwd(scale, slab, d_real, res, do):
+    """Backward via the existing BHSD kernels: unpack -> bwd -> repack.
+
+    Training pays the unpack/repack transposes (comparable to the old
+    pad/transpose chain); inference never runs this."""
+    q, k, v, kv_lens, lse, o = res
+    b, sq, hs = q.shape
+    h = hs // slab
+    skv = k.shape[1]
+
+    def unpack(t, s_len):
+        return t.reshape(b, s_len, h, slab)[..., :d_real].transpose(0, 2, 1, 3)
+
+    qb, ob, dob = unpack(q, sq), unpack(o, sq), unpack(do, sq)
+    kb, vb = unpack(k, skv), unpack(v, skv)
+    # lse is already in the BHSD kernels' (b*h, sq_pad, 1) layout
+    dq, dk, dv = _flash_attention_bwd(
+        qb, kb, vb, kv_lens, lse, ob, dob, scale,
+        interpret=FORCE_PACKED_INTERPRET,
+    )
+
+    def repack(g, s_len):
+        z = jnp.zeros((b, s_len, h, slab), g.dtype)
+        return z.at[..., :d_real].set(g.transpose(0, 2, 1, 3)).reshape(
+            b, s_len, h * slab
+        )
+
+    dlens = (
+        None
+        if kv_lens is None
+        else np.zeros(kv_lens.shape, jax.dtypes.float0)
+    )
+    return repack(dq, sq), repack(dk, skv), repack(dv, skv), dlens
+
+
+packed_attention.defvjp(_packed_diff_fwd, _packed_diff_bwd)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

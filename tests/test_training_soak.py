@@ -1,0 +1,156 @@
+"""Multi-step training evidence (VERDICT r2 missing #5 / next #7).
+
+The reference's capability is a 32.5k-step Stage-2 run
+(train_stage_2.py:720-962) and SMGA epoch training (SMGA.py:137-316).
+CPU-scale versions of the two facts that matter:
+
+  * loss actually DECREASES when overfitting one batch (optimization is
+    wired correctly end-to-end, not just "one step runs"), and
+  * a kill/resume from an orbax checkpoint mid-run continues bit-exactly
+    (checkpoints capture the full optimization state).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from mmgt_tpu.training.stage2 import Stage2Trainer
+
+
+def _tiny_pipeline():
+    from mmgt_tpu.models.audio_proj import AudioProjModel
+    from mmgt_tpu.models.pose_guider import PoseGuider
+    from mmgt_tpu.models.unet3d import DenoisingUNet3D
+    from mmgt_tpu.models.unet_ref import ReferenceUNet2D
+    from mmgt_tpu.models.vae import AutoencoderKL
+    from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    tiny = dict(block_out_channels=(16, 32, 32, 32), heads=4)
+    return Pose2VideoPipeline(
+        vae=AutoencoderKL(block_out_channels=(16, 16, 32, 32)),
+        reference_unet=ReferenceUNet2D(**tiny),
+        denoising_unet=DenoisingUNet3D(**tiny),
+        pose_guider=PoseGuider(
+            embedding_channels=16, block_out_channels=(4, 8, 8, 16)
+        ),
+        audio_proj=AudioProjModel(intermediate_dim=32),
+        context_size=4,
+    )
+
+
+def _fixed_batch(trainer):
+    batch = trainer.make_example_batch(b=1, f=2, height=64, width=64)
+    rng = np.random.default_rng(0)
+    jitter = lambda x: x + 0.3 * rng.standard_normal(x.shape).astype(np.float32)
+    batch["pixel_values"] = jitter(batch["pixel_values"])
+    batch["ref_image"] = jitter(batch["ref_image"])
+    batch["audio_embeds"] = jitter(batch["audio_embeds"])
+    batch["pose_video"] = np.abs(jitter(batch["pose_video"]))
+    return jax.tree.map(jnp.asarray, batch)
+
+
+@pytest.mark.slow
+def test_stage2_overfit_loss_decreases():
+    """~50 steps on ONE fixed batch with a FIXED timestep/noise draw per
+    step cycle: the trainable (audio/motion) params must materially reduce
+    the loss. CFG dropout is disabled so the objective is stationary."""
+    pipe = _tiny_pipeline()
+    trainer = Stage2Trainer(
+        pipe, learning_rate=2e-4, uncond_img_ratio=0.0, uncond_audio_ratio=0.0,
+        noise_offset=0.0,
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    state = trainer.init_state(params)
+    batch = _fixed_batch(trainer)
+    step = jax.jit(trainer.train_step)
+
+    # cycle 4 fixed rngs -> 4 fixed (t, noise) draws; the model can overfit
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(4)]
+    losses = []
+    for i in range(52):
+        state, metrics = step(state, batch, rngs[i % 4])
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert np.isfinite(losses).all()
+    assert last < 0.6 * first, (first, last, losses[::8])
+
+
+@pytest.mark.slow
+def test_stage2_checkpoint_resume_bit_exact(tmp_path):
+    """Save at step 6, keep training to 12; separately restore the step-6
+    checkpoint and train 6 more steps with the same rng schedule — the
+    final trainable params and opt state must match bit-for-bit."""
+    pipe = _tiny_pipeline()
+    trainer = Stage2Trainer(pipe, uncond_img_ratio=0.0, uncond_audio_ratio=0.0)
+    params = pipe.init_params(jax.random.PRNGKey(1), 64, 64)
+    state0 = trainer.init_state(params)
+    batch = _fixed_batch(trainer)
+    step = jax.jit(trainer.train_step)
+    rng_for = lambda i: jax.random.fold_in(jax.random.PRNGKey(7), i)
+
+    from mmgt_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+
+    state = state0
+    for i in range(12):
+        state, _ = step(state, batch, rng_for(i))
+        if int(state.step) == 6:
+            mgr.save(6, jax.device_get(state))
+    final_a = jax.device_get(state)
+
+    # fresh process-equivalent: restore into a newly-built state template
+    template = trainer.init_state(
+        pipe.init_params(jax.random.PRNGKey(99), 64, 64)
+    )
+    resumed = mgr.restore(template)
+    assert int(jnp.asarray(resumed.step)) == 6
+    state_b = jax.tree.map(jnp.asarray, resumed)
+    for i in range(6, 12):
+        state_b, _ = step(state_b, batch, rng_for(i))
+    final_b = jax.device_get(state_b)
+
+    fa = traverse_util.flatten_dict(final_a.trainable, sep="/")
+    fb = traverse_util.flatten_dict(final_b.trainable, sep="/")
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
+    for la, lb in zip(
+        jax.tree.leaves(final_a.opt_state), jax.tree.leaves(final_b.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
+def test_smga_overfit_single_sample():
+    """SMGA (production architecture) overfits one (keypoints, audio)
+    sample: diffusion loss drops by >4x over 120 steps (reference
+    train-loop fact, SMGA.py:137-316)."""
+    from mmgt_tpu.training.stage1 import SMGA
+
+    smga = SMGA(feature_type="baseline", learning_rate=3e-4, cond_drop_prob=0.0)
+    state = smga.init_state(jax.random.PRNGKey(0), batch_size=1)
+    rng = np.random.default_rng(3)
+    batch = {
+        "keypoints": jnp.asarray(
+            np.cumsum(0.02 * rng.standard_normal((1, 80, 402)), axis=1),
+            jnp.float32,
+        ),
+        "cond_frame": jnp.asarray(rng.standard_normal((1, 402)), jnp.float32),
+        "audio_features": jnp.asarray(
+            rng.standard_normal((1, 80, 35)), jnp.float32
+        ),
+    }
+    step = jax.jit(smga.train_step)
+    # fixed rng cycle -> stationary objective the model can drive down
+    rngs = [jax.random.PRNGKey(50 + i) for i in range(4)]
+    losses = []
+    for i in range(120):
+        state, metrics = step(state, batch, rngs[i % 4])
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert np.isfinite(losses).all()
+    assert last < first / 4.0, (first, last, losses[::20])
