@@ -148,11 +148,20 @@ class Audio2VideoPipeline:
             cond_j = jnp.asarray(cond)[None]
             cf = jnp.asarray(last_frame, jnp.float32).reshape(1, -1)
             n_cand = cfg.motion_candidates if (cfg.use_motion_selection and i > 0) else 1
-            cands = []
-            for c in range(n_cand):
-                rng, r = jax.random.split(rng)
-                out = np.asarray(self._smga_sample(self.smga_params, r, cf, cond_j))[0]
-                cands.append(out)
+            # the candidate set batches into ONE sampling call (the
+            # reference loops candidates serially, audio2vid.py:334-342;
+            # per-row noise draws differ, so batch rows ARE independent
+            # candidates); with CFG-doubling inside, one launch runs
+            # 2*n_cand rows through the 50-step scan
+            rng, r = jax.random.split(rng)
+            batch = np.asarray(
+                self._smga_sample(
+                    self.smga_params, r,
+                    jnp.tile(cf, (n_cand, 1)),
+                    jnp.tile(cond_j, (n_cand, 1, 1)),
+                )
+            )
+            cands = list(batch)
             chosen = (
                 find_best_slice(cands, results[-1]) if len(cands) > 1 else cands[0]
             )
