@@ -81,11 +81,17 @@ class GatedRelPosAttention(nn.Module):
 
         bias = None
         if position_bias is not None:
-            # gated scaling of the shared bias (modules_wavlm.py:522-534)
+            # gated scaling of the shared bias. The gate input is the RAW
+            # per-head hidden-state chunks, NOT the q projection: the
+            # reference's vendored WavLM takes its fast path
+            # (data/wavlm/modules_wavlm.py:523-534, `query` there is the
+            # pre-projection attention input), which matches the HF port;
+            # only the never-taken slow path (:731-737) gates on q.
             grep_a = self.param(
                 "grep_a", nn.initializers.ones, (1, self.heads, 1, 1), jnp.float32
             )
-            g = nn.Dense(8, dtype=self.dtype, name="grep_linear")(qh)
+            xh = x.reshape(b, l, self.heads, hd).transpose(0, 2, 1, 3)
+            g = nn.Dense(8, dtype=self.dtype, name="grep_linear")(xh)
             g = g.reshape(b, self.heads, l, 2, 4).sum(-1)
             gate = jax.nn.sigmoid(g.astype(jnp.float32))
             gate_a, gate_b = gate[..., 0], gate[..., 1]
