@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mmgt_tpu.nn.layers import Attention, FeedForward, GroupNorm, LayerNorm
+from mmgt_tpu.nn.layers import Attention, DenseW, FeedForward, GroupNorm, LayerNorm
 
 
 # --------------------------------------------------------------------------
@@ -127,28 +127,39 @@ class TemporalBasicTransformerBlock(nn.Module):
         bank: Optional[jnp.ndarray] = None,
         video_length: int = 1,
         bank_gate: Optional[jnp.ndarray] = None,
+        bank_kv=None,
     ):
-        normed = LayerNorm(name="norm1")(x)
+        # norm1 is fused into attn1's q/k/v projections (ops.fused_ln):
+        # the normalized tensor never hits HBM on the TPU path
+        pn1 = LayerNorm(name="norm1", params_only=True)(x)
         attn1 = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")
 
-        if bank is None:
-            x = x + attn1(normed)
+        if bank is None and bank_kv is None:
+            x = x + attn1(x, pre_norm=(*pn1, 1e-5))
         else:
             f = video_length
-            l = normed.shape[1]
-            bank_f = jnp.repeat(bank, f, axis=0)  # (B*F, L_ref, C)
-            kv = jnp.concatenate([normed, bank_f], axis=1)
+            l = x.shape[1]
+            l_ref = bank.shape[1] if bank is not None else bank_kv[0].shape[1]
+            # raw-bank fallback operand (projected only on non-packed
+            # routes; the packed route consumes the cached bank_kv)
+            bank_f = (
+                jnp.repeat(bank, f, axis=0) if bank is not None else None
+            )  # (B*F, L_ref, C)
             if bank_gate is not None:
                 gate_f = jnp.repeat(bank_gate.astype(jnp.int32), f, axis=0)
-                kv_lens = l + gate_f * bank_f.shape[1]
+                kv_lens = l + gate_f * l_ref
             else:
                 kv_lens = None
-            x = x + attn1(normed, kv, kv_lens=kv_lens)
+            x = x + attn1(
+                x, kv_lens=kv_lens, pre_norm=(*pn1, 1e-5), bank=bank_f,
+                bank_kv=bank_kv,
+            )
 
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
             LayerNorm(name="norm2")(x), context
         )
-        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        pn3 = LayerNorm(name="norm3", params_only=True)(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(x, pre_norm=(*pn3, 1e-5))
         return x
 
 
@@ -163,20 +174,30 @@ class CrossAttnProj(nn.Module):
 
     def setup(self):
         inner = self.heads * self.head_dim
-        self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_q = DenseW(inner, use_bias=False, dtype=self.dtype)
         self.to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype)
         self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
         self.to_out = nn.Dense(inner, dtype=self.dtype)
 
+    def q_weight(self, x):
+        """Compute-dtype q kernel, for fusing the caller's LN into the
+        three q projections in one `ln_projections` call."""
+        w, _ = self.to_q(x, return_weights=True)
+        return w
+
+    def q(self, x):
+        b, lq = x.shape[0], x.shape[1]
+        return self.to_q(x).reshape(b, lq, self.heads, self.head_dim)
+
+    def kv(self, ctx):
+        b, lk = ctx.shape[0], ctx.shape[1]
+        sh = lambda t: t.reshape(b, lk, self.heads, self.head_dim)
+        return sh(self.to_k(ctx)), sh(self.to_v(ctx))
+
     def qkv(self, x, ctx):
         """BSHD (no head transpose) q/k/v."""
-        b, lq, lk = x.shape[0], x.shape[1], ctx.shape[1]
-        sh = lambda t, l: t.reshape(b, l, self.heads, self.head_dim)
-        return (
-            sh(self.to_q(x), lq),
-            sh(self.to_k(ctx), lk),
-            sh(self.to_v(ctx), lk),
-        )
+        k, v = self.kv(ctx)
+        return self.q(x), k, v
 
     def out(self, o):
         b, l, h, d = o.shape
@@ -210,18 +231,34 @@ class AudioTransformerBlock(nn.Module):
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
     ):
         from mmgt_tpu.ops.attention import dot_product_attention_bshd
+        from mmgt_tpu.ops.fused_ln import ln_projections, use_fused_ln
+        from mmgt_tpu.ops.norms import layer_norm
 
-        normed = LayerNorm(name="norm1")(x)
+        pn1 = LayerNorm(name="norm1", params_only=True)(x)
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
-            normed
+            x, pre_norm=(*pn1, 1e-5)
         )
 
-        normed = LayerNorm(name="norm2")(x)
+        pn2 = LayerNorm(name="norm2", params_only=True)(x)
         projs = [
             CrossAttnProj(self.heads, self.head_dim, self.dtype, name=f"attn2_{i}")
             for i in range(3)
         ]
-        qs, ks, vs = zip(*[p.qkv(normed, audio_tokens) for p in projs])
+        b, lq = x.shape[0], x.shape[1]
+        if use_fused_ln(lq):
+            # norm2 fuses into the three q projections (one kernel); the
+            # audio k/v (32 tokens) are cheap plain projections
+            zb = jnp.zeros((self.heads * self.head_dim,), jnp.float32)
+            q3 = ln_projections(
+                x, *pn2, tuple(p.q_weight(x) for p in projs), (zb, zb, zb), 1e-5
+            )
+            qs = tuple(
+                q.reshape(b, lq, self.heads, self.head_dim) for q in q3
+            )
+        else:
+            normed = layer_norm(x, *pn2, 1e-5)
+            qs = tuple(p.q(normed) for p in projs)
+        ks, vs = zip(*[p.kv(audio_tokens) for p in projs])
         o = dot_product_attention_bshd(
             jnp.concatenate(qs, 2), jnp.concatenate(ks, 2), jnp.concatenate(vs, 2)
         )
@@ -241,7 +278,8 @@ class AudioTransformerBlock(nn.Module):
             )(h)
             out = out + scale * h
         x = out
-        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        pn3 = LayerNorm(name="norm3", params_only=True)(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(x, pre_norm=(*pn3, 1e-5))
         return x
 
 
@@ -293,6 +331,7 @@ class SpatialTransformerRef(nn.Module):
         bank: Optional[jnp.ndarray],
         video_length: int,
         bank_gate: Optional[jnp.ndarray] = None,
+        bank_kv=None,
     ):
         residual = x
         h = GroupNorm(32, 1e-6, name="norm")(x)
@@ -300,7 +339,7 @@ class SpatialTransformerRef(nn.Module):
         tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_in")(tokens)
         tokens = TemporalBasicTransformerBlock(
             self.heads, self.head_dim, self.dtype, name="block"
-        )(tokens, context, bank, video_length, bank_gate)
+        )(tokens, context, bank, video_length, bank_gate, bank_kv)
         tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(tokens)
         return _unflatten_hw(tokens, hw) + residual
 

@@ -77,6 +77,7 @@ class DenoisingUNet3D(nn.Module):
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
         n_uncond: int = 0,
         bank_gate: Optional[jnp.ndarray] = None,
+        banks_kv: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
     ) -> jnp.ndarray:
         b, f, hh, ww, cin = latents.shape
         if self.remat:
@@ -107,9 +108,13 @@ class DenoisingUNet3D(nn.Module):
             audio_ctx = None
 
         bank_iter = iter(banks) if banks is not None else None
+        bank_kv_iter = iter(banks_kv) if banks_kv is not None else None
 
         def next_bank():
             return next(bank_iter) if bank_iter is not None else None
+
+        def next_bank_kv():
+            return next(bank_kv_iter) if bank_kv_iter is not None else None
 
         def level_masks(level):
             if masks is None:
@@ -139,7 +144,7 @@ class DenoisingUNet3D(nn.Module):
                         out_ch // self.heads,
                         self.dtype,
                         name=f"down_{bi}_attn_{li}",
-                    )(x, context, next_bank(), f, bank_gate)
+                    )(x, context, next_bank(), f, bank_gate, next_bank_kv())
                     if self.use_audio_module and audio_ctx is not None:
                         x = SpatialTransformerAudio(
                             self.heads,
@@ -163,7 +168,7 @@ class DenoisingUNet3D(nn.Module):
         x = RB(chans[-1], dtype=self.dtype, name="mid_res_0")(x, temb_f)
         x = ST(
             self.heads, chans[-1] // self.heads, self.dtype, name="mid_attn"
-        )(x, context, next_bank(), f, bank_gate)
+        )(x, context, next_bank(), f, bank_gate, next_bank_kv())
         if self.use_motion_module:
             x = MM(
                 self.heads, self.motion_max_len, self.dtype, name="mid_motion"
@@ -187,7 +192,7 @@ class DenoisingUNet3D(nn.Module):
                         out_ch // self.heads,
                         self.dtype,
                         name=f"up_{bi}_attn_{li}",
-                    )(x, context, next_bank(), f, bank_gate)
+                    )(x, context, next_bank(), f, bank_gate, next_bank_kv())
                 if self.use_motion_module:
                     x = MM(
                         self.heads,
@@ -201,3 +206,54 @@ class DenoisingUNet3D(nn.Module):
         x = GroupNorm(32, 1e-5, act="silu", name="conv_norm_out")(x)
         x = nn.Conv(cin, (3, 3), dtype=self.dtype, name="conv_out")(x)
         return x.reshape(b, f, hh, ww, cin)
+
+
+def bank_attn_names(
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280),
+    layers_per_block: int = 2,
+) -> List[Tuple[str, int]]:
+    """(module name, channels) of every reference-bank self-attention, in
+    the exact order `DenoisingUNet3D.__call__` consumes the `banks` list
+    (== `Pose2VideoPipeline._bank_shapes` order)."""
+    chans = list(block_out_channels)
+    n = len(chans)
+    names: List[Tuple[str, int]] = []
+    for bi in range(n - 1):
+        for li in range(layers_per_block):
+            names.append((f"down_{bi}_attn_{li}", chans[bi]))
+    names.append(("mid_attn", chans[-1]))
+    rev = list(reversed(chans))
+    for bi in range(1, n):
+        for li in range(layers_per_block + 1):
+            names.append((f"up_{bi}_attn_{li}", rev[bi]))
+    return names
+
+
+def precompute_bank_kv(unet: DenoisingUNet3D, params, banks):
+    """Project every reference bank through its block's attn1 to_k/to_v
+    ONCE per generation, in the lane-packed operand layout.
+
+    The banks are per-generation constants (the ReferenceNet runs once;
+    reference mutual_self_attention.py re-reads them every denoising
+    step), so their K/V never change across steps — the two-segment flash
+    kernel (`ops.attention.packed_attention_2seg`) consumes these batch-1
+    operands directly. `params`: the denoising UNet's variables dict;
+    `banks`: list of (1, L_i, C_i) tensors. Uses the same
+    `pack_qkv_weight` scatter as `_PackedQKV`, so results are
+    bit-identical to in-block projection."""
+    from mmgt_tpu.nn.layers import pack_qkv_weight
+    from mmgt_tpu.ops.attention import packed_slab
+
+    p = params["params"] if "params" in params else params
+    out = []
+    names = bank_attn_names(unet.block_out_channels, unet.layers_per_block)
+    assert len(names) == len(banks), (len(names), len(banks))
+    for (name, ch), bank in zip(names, banks):
+        attn = p[name]["block"]["attn1"]
+        d = ch // unet.heads
+        slab = packed_slab(d)
+        wk = pack_qkv_weight(attn["to_k"]["kernel"], unet.heads, d, slab, unet.dtype)
+        wv = pack_qkv_weight(attn["to_v"]["kernel"], unet.heads, d, slab, unet.dtype)
+        bank_d = bank.astype(unet.dtype)
+        out.append((bank_d @ wk, bank_d @ wv))
+    return out

@@ -20,9 +20,11 @@ from mmgt_tpu.ops.attention import (
     dot_product_attention,
     dot_product_attention_bshd,
     packed_attention,
+    packed_attention_2seg,
     packed_slab,
     use_packed_attention,
 )
+from mmgt_tpu.ops.fused_ln import ln_projections, use_fused_ln
 from mmgt_tpu.ops.norms import group_norm, layer_norm
 
 
@@ -94,34 +96,96 @@ class GroupNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
+    """LayerNorm with f32 statistics.
+
+    `params_only=True` declares the same scale/bias params (identical
+    checkpoint paths) but returns them instead of normalizing — callers
+    hand them to a consumer that fuses the normalization into its own
+    kernel (`mmgt_tpu.ops.fused_ln`)."""
+
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     use_scale_bias: bool = True
+    params_only: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         if not self.use_scale_bias:
             return layer_norm(x, None, None, self.eps)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.params_only:
+            return scale, bias
         return layer_norm(x, scale, bias, self.eps)
 
 
+class DenseW(nn.Module):
+    """nn.Dense twin (identical "kernel"/"bias" params and numerics) that
+    can hand out its compute-dtype weights instead of applying them, for
+    callers that fuse the matmul into a Pallas kernel."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
+        in_dim = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.features), jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else jnp.zeros((self.features,), jnp.float32)
+        )
+        if return_weights:
+            return w.astype(self.dtype), b
+        y = x.astype(self.dtype) @ w.astype(self.dtype)
+        return y + b.astype(y.dtype) if self.use_bias else y
+
+
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (dim -> mult*dim -> dim), diffusers-compatible."""
+    """GEGLU feed-forward (dim -> mult*dim -> dim), diffusers-compatible.
+
+    `pre_norm=(scale, bias, eps)`: the caller's LayerNorm params — fused
+    into the GEGLU projection on TPU (`ops.fused_ln`), applied as a plain
+    layer_norm otherwise."""
 
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pre_norm=None) -> jnp.ndarray:
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_geglu")(x)
+        proj = DenseW(inner * 2, dtype=self.dtype, name="proj_geglu")
+        if pre_norm is not None:
+            scale, bias, eps = pre_norm
+            if use_fused_ln(x.shape[1]):
+                w, b = proj(x, return_weights=True)
+                (h,) = ln_projections(x, scale, bias, (w,), (b,), eps)
+            else:
+                h = proj(layer_norm(x, scale, bias, eps))
+        else:
+            h = proj(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+
+
+def pack_qkv_weight(w: jnp.ndarray, heads: int, d: int, slab: int,
+                    dtype) -> jnp.ndarray:
+    """Scatter an (in_dim, heads*d) projection kernel into per-head
+    128-lane slabs -> (in_dim, heads*slab); padded lanes are exact zeros
+    (shared by `_PackedQKV` and the pipeline's bank-K/V precompute so both
+    produce bit-identical operands)."""
+    in_dim = w.shape[0]
+    wp = jnp.zeros((in_dim, heads, slab), dtype)
+    wp = wp.at[..., :d].set(w.astype(dtype).reshape(in_dim, heads, d))
+    return wp.reshape(in_dim, heads * slab)
 
 
 class _PackedQKV(nn.Module):
@@ -138,17 +202,16 @@ class _PackedQKV(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_weight: bool = False):
         in_dim = x.shape[-1]
         w = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (in_dim, self.heads * self.d), jnp.float32,
         )
-        wp = jnp.zeros((in_dim, self.heads, self.slab), self.dtype)
-        wp = wp.at[..., : self.d].set(
-            w.astype(self.dtype).reshape(in_dim, self.heads, self.d)
-        )
-        return x @ wp.reshape(in_dim, self.heads * self.slab)
+        wp = pack_qkv_weight(w, self.heads, self.d, self.slab, self.dtype)
+        if return_weight:
+            return wp
+        return x @ wp
 
 
 class _PackedOut(nn.Module):
@@ -203,40 +266,101 @@ class Attention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         kv_lens: Optional[jnp.ndarray] = None,
+        pre_norm=None,
+        bank: Optional[jnp.ndarray] = None,
+        bank_kv=None,
     ) -> jnp.ndarray:
+        """pre_norm=(scale, bias, eps): the caller's LayerNorm params —
+        attention runs over LN(x), with the normalization fused into the
+        q/k/v projections on TPU (`ops.fused_ln`). `bank`: reference
+        tokens (already normalized by the ReferenceNet) appended to the
+        self-attention K/V; callers gate them per row via `kv_lens`.
+        `bank_kv`: optional (k, v) pair of PRE-PROJECTED lane-packed bank
+        operands, batch 1 (`Pose2VideoPipeline` computes them once per
+        generation) — the packed route then runs the two-segment kernel
+        with no per-step bank projection/concat; non-packed routes fall
+        back to projecting `bank` (pass both when routing is dynamic)."""
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
         ctx = x if context is None else context
         b, lq = x.shape[0], x.shape[1]
+        if (bank is not None or bank_kv is not None) and context is not None:
+            raise ValueError("bank extends SELF-attention K/V only")
         # Cross-attention over a SINGLE context token (the CLIP image embed,
         # reference pipeline_pose2vid_long.py:381-394) is exactly `v`
         # broadcast: softmax over one key is identically 1. Skip the q/k
         # projections (fed zero-length token slices so the params still
-        # exist for checkpoint parity) and the attention kernel entirely.
+        # exist for checkpoint parity), the attention kernel, AND any
+        # pre-norm (the output does not depend on x) entirely.
         single_kv = context is not None and context.shape[1] == 1 and kv_lens is None
-        if not single_kv and use_packed_attention(lq, ctx.shape[1], self.head_dim):
+        bank_len = (
+            bank.shape[1] if bank is not None
+            else bank_kv[0].shape[1] if bank_kv is not None
+            else 0
+        )
+        lk_total = ctx.shape[1] + bank_len
+        if not single_kv and use_packed_attention(lq, lk_total, self.head_dim):
             slab = packed_slab(self.head_dim)
-            qp = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
-                            name="to_q")(x)
-            kp = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
-                            name="to_k")(ctx)
-            vp = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
-                            name="to_v")(ctx)
-            o = packed_attention(
-                qp, kp, vp, kv_lens, 1.0 / math.sqrt(self.head_dim), slab,
-                self.head_dim,
-            )
+            to_q = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
+                              name="to_q")
+            to_k = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
+                              name="to_k")
+            to_v = _PackedQKV(self.heads, self.head_dim, slab, self.dtype,
+                              name="to_v")
+            if pre_norm is not None and context is None and use_fused_ln(lq):
+                scale_p, bias_p, eps = pre_norm
+                wq = to_q(x, return_weight=True)
+                wk = to_k(x, return_weight=True)
+                wv = to_v(x, return_weight=True)
+                zb = jnp.zeros((self.heads * slab,), jnp.float32)
+                qp, kp, vp = ln_projections(
+                    x, scale_p, bias_p, (wq, wk, wv), (zb, zb, zb), eps
+                )
+            else:
+                x_n = (
+                    layer_norm(x, pre_norm[0], pre_norm[1], pre_norm[2])
+                    if pre_norm is not None
+                    else x
+                )
+                c_n = x_n if context is None else ctx
+                qp, kp, vp = to_q(x_n), to_k(c_n), to_v(c_n)
+            if bank_kv is not None:
+                o = packed_attention_2seg(
+                    qp, kp, vp, bank_kv[0], bank_kv[1], kv_lens,
+                    1.0 / math.sqrt(self.head_dim), slab, self.head_dim,
+                )
+            else:
+                if bank is not None:
+                    kp = jnp.concatenate([kp, to_k(bank)], axis=1)
+                    vp = jnp.concatenate([vp, to_v(bank)], axis=1)
+                o = packed_attention(
+                    qp, kp, vp, kv_lens, 1.0 / math.sqrt(self.head_dim), slab,
+                    self.head_dim,
+                )
             return _PackedOut(
                 self.heads, self.head_dim, slab, out_dim, self.dtype,
                 self.zero_init_out, name="to_out",
             )(o)
+        if bank_kv is not None and bank is None:
+            raise ValueError(
+                "bank_kv requires the packed attention route; pass the raw "
+                "bank too when routing is shape- or backend-dependent"
+            )
+        x_in = (
+            layer_norm(x, pre_norm[0], pre_norm[1], pre_norm[2])
+            if pre_norm is not None and not single_kv
+            else x
+        )
+        kv = x_in if context is None else ctx
+        if bank is not None:
+            kv = jnp.concatenate([x_in, bank], axis=1)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
-            x[:, :0] if single_kv else x
+            x_in[:, :0] if single_kv else x_in
         )
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
-            ctx[:, :0] if single_kv else ctx
+            kv[:, :0] if single_kv else kv
         )
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv)
 
         if single_kv:
             o = jnp.broadcast_to(v, (b, lq, inner))

@@ -515,6 +515,12 @@ def packed_slab(head_dim: int) -> int:
     return _round_up(head_dim, 128)
 
 
+def packed_backend() -> bool:
+    """True when this process routes long attention through the packed
+    kernels (used by callers that precompute packed operands)."""
+    return FORCE_PACKED_INTERPRET or jax.default_backend() == "tpu"
+
+
 def use_packed_attention(lq: int, lk: int, head_dim: int) -> bool:
     """Static (trace-time) routing decision for the lane-packed path."""
     if FORCE_PACKED_INTERPRET:
@@ -687,3 +693,205 @@ def dot_product_attention(
     if impl == "pallas_interpret":
         return _flash_attention_diff(q, k, v, kv_lens, scale, True)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+# ------------------------------------------- two-segment packed attention
+# Reference-bank self-attention (mutual_self_attention.py:160-186) attends
+# each query to [self tokens ; bank tokens]. The bank is a PER-GENERATION
+# CONSTANT (the ReferenceNet runs once) and identical for every window/CFG
+# row, yet the concat route re-projects and re-materializes it inside every
+# denoising step. This kernel takes the bank K/V as separate batch-1
+# operands: the grid iterates (head, batch, q-block) so the bank block's
+# index map is constant across the whole batch — Pallas keeps it VMEM-
+# resident and HBM reads it once per head instead of once per (row, head).
+# Self K/V stay per-row; `kv_lens` keeps the reference's uc_mask semantics
+# (rows with kv_len == l_self skip every bank block: masked-block skipping
+# makes ungated rows pay no bank FLOPs).
+def _flash_fwd_lse_2seg_kernel(kvlen_ref, q_ref, ks_ref, vs_ref, kb_ref,
+                               vb_ref, o_ref, lse_ref, *, block_k: int,
+                               scale: float, l_self: int):
+    q = q_ref[0].astype(jnp.float32) * scale
+    bq, d = q.shape
+    kv_len = kvlen_ref[pl.program_id(1), 0]
+    bank_len = jnp.maximum(kv_len - l_self, 0)
+
+    def seg_body(k_seg_ref, v_seg_ref, valid_len):
+        def body(i, carry):
+            acc, m_prev, l_prev = carry
+            k = k_seg_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            v = v_seg_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+                + i * block_k
+            )
+            s = jnp.where(col < valid_len, s, _NEG_INF)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new, l_new
+
+        return body
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    carry = jax.lax.fori_loop(
+        0, pl.cdiv(l_self, block_k), seg_body(ks_ref, vs_ref, l_self),
+        (acc0, m0, l0),
+    )
+    acc, m, l = jax.lax.fori_loop(
+        0, pl.cdiv(bank_len, block_k), seg_body(kb_ref, vb_ref, bank_len),
+        carry,
+    )
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "slab", "block_q", "block_k", "interpret")
+)
+def _flash_attention_packed_2seg_fwd(q, ks, vs, kb, vb, kv_lens, scale: float,
+                                     slab: int, block_q: int = 512,
+                                     block_k: int = 512,
+                                     interpret: bool = False):
+    """q/ks/vs: (B, S, H*slab) lane-packed; kb/vb: (1, S_bank, H*slab).
+
+    kv_lens (B,) is the TOTAL valid length per row (l_self, or
+    l_self + l_bank for bank-gated rows) — the same semantics the concat
+    route uses, so callers only switch operand plumbing."""
+    b, sq, hs = q.shape
+    h = hs // slab
+    l_self, l_bank = ks.shape[1], kb.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(max(l_self, l_bank), 128))
+    sq_pad = _round_up(sq, block_q)
+    ls_pad = _round_up(l_self, block_k)
+    lb_pad = _round_up(l_bank, block_k)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if ls_pad != l_self:
+        ks = jnp.pad(ks, ((0, 0), (0, ls_pad - l_self), (0, 0)))
+        vs = jnp.pad(vs, ((0, 0), (0, ls_pad - l_self), (0, 0)))
+    if lb_pad != l_bank:
+        kb = jnp.pad(kb, ((0, 0), (0, lb_pad - l_bank), (0, 0)))
+        vb = jnp.pad(vb, ((0, 0), (0, lb_pad - l_bank), (0, 0)))
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), l_self + l_bank, jnp.int32)
+    lens = kv_lens.astype(jnp.int32)[:, None]
+
+    grid = (h, b, sq_pad // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_lse_2seg_kernel, block_k=block_k, scale=scale,
+            l_self=l_self,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda hh, bb, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, slab), lambda hh, bb, i: (bb, i, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ls_pad, slab), lambda hh, bb, i: (bb, 0, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ls_pad, slab), lambda hh, bb, i: (bb, 0, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lb_pad, slab), lambda hh, bb, i: (0, 0, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lb_pad, slab), lambda hh, bb, i: (0, 0, hh),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, slab), lambda hh, bb, i: (bb, i, hh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda hh, bb, i, h=h: (bb * h + hh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_pad, h * slab), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * (l_self + l_bank) * slab,
+            bytes_accessed=(q.size + ks.size + vs.size) * q.dtype.itemsize
+            + (kb.size + vb.size) * kb.dtype.itemsize * h,
+            transcendentals=b * h * sq * (l_self + l_bank),
+        ),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(lens, q, ks, vs, kb, vb)
+    return o[:, :sq], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def packed_attention_2seg(q, ks, vs, kb, vb, kv_lens, scale: float, slab: int,
+                          d_real: int):
+    """Differentiable two-segment lane-packed flash attention.
+
+    Inference never differentiates this; the VJP concatenates the
+    broadcast bank into the self segment and reuses the BHSD backward
+    kernels (bank grads sum over the batch)."""
+    o, _ = _flash_attention_packed_2seg_fwd(
+        q, ks, vs, kb, vb, kv_lens, scale, slab,
+        interpret=FORCE_PACKED_INTERPRET,
+    )
+    return o
+
+
+def _packed_2seg_fwd(q, ks, vs, kb, vb, kv_lens, scale, slab, d_real):
+    o, lse = _flash_attention_packed_2seg_fwd(
+        q, ks, vs, kb, vb, kv_lens, scale, slab,
+        interpret=FORCE_PACKED_INTERPRET,
+    )
+    return o, (q, ks, vs, kb, vb, kv_lens, lse, o)
+
+
+def _packed_2seg_bwd(scale, slab, d_real, res, do):
+    q, ks, vs, kb, vb, kv_lens, lse, o = res
+    b, sq, hs = q.shape
+    h = hs // slab
+    l_self, l_bank = ks.shape[1], kb.shape[1]
+
+    def unpack(t, s_len):
+        return t.reshape(-1, s_len, h, slab)[..., :d_real].transpose(0, 2, 1, 3)
+
+    kcat = jnp.concatenate([ks, jnp.broadcast_to(kb, (b, l_bank, hs))], 1)
+    vcat = jnp.concatenate([vs, jnp.broadcast_to(vb, (b, l_bank, hs))], 1)
+    lens_was_none = kv_lens is None
+    if lens_was_none:
+        kv_lens = jnp.full((b,), l_self + l_bank, jnp.int32)
+    dq, dk, dv = _flash_attention_bwd(
+        unpack(q, sq), unpack(kcat, l_self + l_bank), unpack(vcat, l_self + l_bank),
+        kv_lens, lse, unpack(o, sq), unpack(do, sq), scale,
+        interpret=FORCE_PACKED_INTERPRET,
+    )
+
+    def repack(g, s_len):
+        z = jnp.zeros((g.shape[0], s_len, h, slab), g.dtype)
+        return z.at[..., :d_real].set(g.transpose(0, 2, 1, 3)).reshape(
+            g.shape[0], s_len, h * slab
+        )
+
+    dks, dkb = dk[:, :, :l_self], dk[:, :, l_self:].sum(0, keepdims=True)
+    dvs, dvb = dv[:, :, :l_self], dv[:, :, l_self:].sum(0, keepdims=True)
+    dlens = (
+        None if lens_was_none else np.zeros(kv_lens.shape, jax.dtypes.float0)
+    )
+    return (
+        repack(dq, sq), repack(dks, l_self), repack(dvs, l_self),
+        repack(dkb, l_bank), repack(dvb, l_bank), dlens,
+    )
+
+
+packed_attention_2seg.defvjp(_packed_2seg_fwd, _packed_2seg_bwd)

@@ -180,6 +180,21 @@ class Pose2VideoPipeline:
             jnp.zeros((1,), jnp.int32),
             clip_embed.astype(dtype),
         )
+        # banks are per-generation constants: on the packed (TPU) route,
+        # project each through its block's attn1 to_k/to_v ONCE here —
+        # the denoising scan then runs the two-segment flash kernel with
+        # these batch-1 operands instead of re-projecting and re-concating
+        # the bank every step (reference mutual_self_attention.py re-reads
+        # the bank per step)
+        banks_kv = None
+        from mmgt_tpu.ops.attention import packed_backend
+
+        if packed_backend():
+            from mmgt_tpu.models.unet3d import precompute_bank_kv
+
+            banks_kv = precompute_bank_kv(
+                self.denoising_unet, params["denoising_unet"], banks
+            )
         # tile banks to the (2*mb,) CFG batch; first mb rows (uncond) unread
         banks = [jnp.repeat(b, 2 * mb, axis=0) for b in banks]
 
@@ -207,6 +222,7 @@ class Pose2VideoPipeline:
         )  # 3 levels x 3 kinds, (F, L)
         cond = {
             "banks": banks,
+            "banks_kv": banks_kv,
             "pose_feat": pose_feat,
             "audio_tokens": audio_tokens,
             "ctx_cfg": ctx_cfg,
@@ -287,6 +303,7 @@ class Pose2VideoPipeline:
                 banks,
                 motion_scale,
                 n_uncond=mb,
+                banks_kv=cond.get("banks_kv"),
             )  # (2mb, ctx, h, w, 4)
             return pred.astype(jnp.float32)
 

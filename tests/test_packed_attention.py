@@ -114,3 +114,72 @@ def test_attention_layer_packed_path_matches_default():
     np.testing.assert_allclose(
         np.asarray(packed), np.asarray(base), atol=2e-4, rtol=2e-3
     )
+
+
+def test_two_segment_matches_concat():
+    """2seg (self + batch-1 bank) == single-segment over the concat."""
+    rng = np.random.default_rng(7)
+    b, heads, d = 3, 2, 40
+    slab = A.packed_slab(d)
+    lq = ls = lb = 512
+    scale = 1.0 / np.sqrt(d)
+    mk = lambda bb, s: rng.standard_normal((bb, s, heads * d)).astype(np.float32) * 0.3
+    q, ks, vs = mk(b, lq), mk(b, ls), mk(b, ls)
+    kb, vb = mk(1, lb), mk(1, lb)
+    # rows: ungated (self only), gated (self+bank), gated
+    kv_lens = jnp.asarray([ls, ls + lb, ls + lb], jnp.int32)
+
+    p = lambda t: _pack(jnp.asarray(t), heads, d, slab)
+    o2, lse2 = A._flash_attention_packed_2seg_fwd(
+        p(q), p(ks), p(vs), p(kb), p(vb), kv_lens, scale, slab, interpret=True
+    )
+    kcat = np.concatenate([ks, np.broadcast_to(kb, (b, lb, heads * d))], 1)
+    vcat = np.concatenate([vs, np.broadcast_to(vb, (b, lb, heads * d))], 1)
+    o1, lse1 = A._flash_attention_packed_fwd(
+        p(q), p(kcat), p(vcat), kv_lens, scale, slab, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse2), np.asarray(lse1), atol=2e-5, rtol=2e-4)
+
+
+def test_two_segment_grads_match_concat():
+    rng = np.random.default_rng(8)
+    b, heads, d = 2, 2, 40
+    slab = A.packed_slab(d)
+    lq = ls = lb = 512
+    scale = 1.0 / np.sqrt(d)
+    mk = lambda bb, s: rng.standard_normal((bb, s, heads * d)).astype(np.float32) * 0.3
+    q, ks, vs = mk(b, lq), mk(b, ls), mk(b, ls)
+    kb, vb = mk(1, lb), mk(1, lb)
+    kv_lens = jnp.asarray([ls, ls + lb], jnp.int32)
+    p = lambda t: _pack(jnp.asarray(t), heads, d, slab)
+
+    prev = A.FORCE_PACKED_INTERPRET
+    A.FORCE_PACKED_INTERPRET = True
+    try:
+        def loss2(q, ks, vs, kb, vb):
+            o = A.packed_attention_2seg(
+                p(q), p(ks), p(vs), p(kb), p(vb), kv_lens, scale, slab, d
+            )
+            return jnp.sum(o**2)
+
+        def loss1(q, ks, vs, kb, vb):
+            kcat = jnp.concatenate([ks, jnp.broadcast_to(kb, (b, lb, heads * d))], 1)
+            vcat = jnp.concatenate([vs, jnp.broadcast_to(vb, (b, lb, heads * d))], 1)
+            o = A.packed_attention(p(q), p(kcat), p(vcat), kv_lens, scale, slab, d)
+            return jnp.sum(o**2)
+
+        g2 = jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(
+            jnp.asarray(q), jnp.asarray(ks), jnp.asarray(vs),
+            jnp.asarray(kb), jnp.asarray(vb),
+        )
+        g1 = jax.grad(loss1, argnums=(0, 1, 2, 3, 4))(
+            jnp.asarray(q), jnp.asarray(ks), jnp.asarray(vs),
+            jnp.asarray(kb), jnp.asarray(vb),
+        )
+    finally:
+        A.FORCE_PACKED_INTERPRET = prev
+    for a, bb_ in zip(g2, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb_), atol=5e-4, rtol=5e-4
+        )

@@ -154,3 +154,43 @@ def test_window_batch_actually_shards_per_device():
         assert s.data.shape == (1, 4, 16, 16, 4), s.data.shape
     devices = {s.device for s in shards}
     assert len(devices) == 8  # one distinct device per shard
+
+
+@pytest.mark.slow
+def test_pose2vid_full_tpu_route_matches_plain(monkeypatch):
+    """The complete TPU fast path — lane-packed attention + fused-LN
+    projections + cached two-segment bank K/V — must equal the plain XLA
+    composition through the whole pipeline (forced interpret on CPU)."""
+    from mmgt_tpu.ops import attention as A
+    from mmgt_tpu.ops import fused_ln
+
+    pipe = _tiny_pipeline()
+    rng = jax.random.PRNGKey(0)
+    H = W = 64
+    F = 6
+    params = pipe.init_params(rng, H, W)
+    ref_img = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3)) * 0.1
+    pose = jax.random.uniform(jax.random.PRNGKey(2), (1, F, H, W, 3))
+    clip = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 768)) * 0.1
+    h8 = H // 8
+    masks = [
+        tuple(jnp.ones((1, F, (h8 >> l) * (h8 >> l))) for _ in range(3))
+        for l in range(3)
+    ]
+    audio = jax.random.normal(jax.random.PRNGKey(4), (1, F, 5, 12, 768)) * 0.1
+
+    def run(p):
+        return np.asarray(
+            p(params, rng, ref_img, pose, clip, masks, audio,
+              num_inference_steps=2, guidance_scale=3.5)
+        )
+
+    plain = run(pipe)
+    monkeypatch.setattr(A, "FORCE_PACKED_INTERPRET", True)
+    monkeypatch.setattr(fused_ln, "FORCE_FUSED_INTERPRET", True)
+    # fresh pipeline: the jit caches are keyed on the (static) pipeline
+    # object, so reusing `pipe` would replay the plain-path executables
+    # and never see the flags
+    fast = run(_tiny_pipeline())
+    assert np.isfinite(fast).all()
+    np.testing.assert_allclose(fast, plain, atol=5e-4, rtol=5e-3)

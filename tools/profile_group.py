@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--csv", default=None)
     ap.add_argument("--mb", type=int, default=5, help="window microbatch")
     ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--no-bank-cache", action="store_true",
+                    help="skip the precomputed two-segment bank K/V")
     args = ap.parse_args()
 
     import jax
@@ -52,28 +54,38 @@ def main():
         tuple(jnp.ones((b, f, (h8 >> l) ** 2), dt) for _ in range(3))
         for l in range(3)
     ]
-    banks = [
-        jnp.zeros((b, l, c), dt) for l, c in pipe._bank_shapes(h8, h8)
+    banks1 = [
+        jax.random.normal(jax.random.PRNGKey(i), (1, l, c), dt) * 0.1
+        for i, (l, c) in enumerate(pipe._bank_shapes(h8, h8))
     ]
+    banks = [jnp.repeat(bk, b, axis=0) for bk in banks1]
     n_uncond = args.mb
 
+    banks_kv = None
+    if not args.no_bank_cache:
+        from mmgt_tpu.models.unet3d import precompute_bank_kv
+
+        banks_kv = jax.jit(
+            lambda p, bs: precompute_bank_kv(model, p, bs)
+        )(params, banks1)
+
     fn = jax.jit(
-        lambda p, x: model.apply(
+        lambda p, x, bkv: model.apply(
             p, x, t, ctx, audio, pose, masks, banks, (1.0, 2.0, 3.0),
-            n_uncond=n_uncond,
+            n_uncond=n_uncond, banks_kv=bkv,
         )
     )
-    out = fn(params, latents)
+    out = fn(params, latents, banks_kv)
     np.asarray(out.ravel()[0])  # compile + settle
     import time
 
     t0 = time.time()
-    out = fn(params, latents)
+    out = fn(params, latents, banks_kv)
     np.asarray(out.ravel()[0])
     print(f"# one group forward: {time.time() - t0:.3f}s (chained wall)")
 
     with trace("/tmp/mmgt_group_trace") as d:
-        out = fn(params, latents)
+        out = fn(params, latents, banks_kv)
         np.asarray(out.ravel()[0])
     rows = xplane.device_op_table(d)
     total = sum(ms for _, ms, _ in rows)
