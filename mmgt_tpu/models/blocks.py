@@ -216,6 +216,15 @@ class AudioTransformerBlock(nn.Module):
 
     x: (B*F, L, C); audio_tokens: (B*F, L_a, 768);
     masks: (full, face, lip), each (B*F, L); motion_scale: length-3.
+
+    `n_uncond_rows` (static): the first n rows are the CFG uncond half,
+    whose audio tokens the pipeline zeroes. With biasless k/v projections,
+    zero tokens give v = 0 exactly, so each attention output is 0 and the
+    branch collapses to the closed form
+        x + sum_i scale_i * (mask_i * (b_out_i @ W_zc_i) + b_zc_i)
+    — computed from the params alone. The q projections, the attention and
+    the out/zero-conv matmuls are skipped for those rows (same numbers, a
+    different — cheaper — contraction path).
     """
 
     heads: int
@@ -229,6 +238,7 @@ class AudioTransformerBlock(nn.Module):
         audio_tokens: jnp.ndarray,
         masks: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
+        n_uncond_rows: int = 0,
     ):
         from mmgt_tpu.ops.attention import dot_product_attention_bshd
         from mmgt_tpu.ops.fused_ln import ln_projections, use_fused_ln
@@ -239,45 +249,61 @@ class AudioTransformerBlock(nn.Module):
             x, pre_norm=(*pn1, 1e-5)
         )
 
+        nu = n_uncond_rows
         pn2 = LayerNorm(name="norm2", params_only=True)(x)
         projs = [
             CrossAttnProj(self.heads, self.head_dim, self.dtype, name=f"attn2_{i}")
             for i in range(3)
         ]
+        zero_convs = [
+            # zero-initialized 1x1 conv == Dense on channel-last tokens
+            nn.Dense(
+                x.shape[-1],
+                kernel_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name=f"zero_conv_{i}",
+            )
+            for i in range(3)
+        ]
         b, lq = x.shape[0], x.shape[1]
+        xc = x[nu:]
         if use_fused_ln(lq):
             # norm2 fuses into the three q projections (one kernel); the
             # audio k/v (32 tokens) are cheap plain projections
             zb = jnp.zeros((self.heads * self.head_dim,), jnp.float32)
             q3 = ln_projections(
-                x, *pn2, tuple(p.q_weight(x) for p in projs), (zb, zb, zb), 1e-5
+                xc, *pn2, tuple(p.q_weight(xc) for p in projs), (zb, zb, zb), 1e-5
             )
             qs = tuple(
-                q.reshape(b, lq, self.heads, self.head_dim) for q in q3
+                q.reshape(b - nu, lq, self.heads, self.head_dim) for q in q3
             )
         else:
-            normed = layer_norm(x, *pn2, 1e-5)
+            normed = layer_norm(xc, *pn2, 1e-5)
             qs = tuple(p.q(normed) for p in projs)
-        ks, vs = zip(*[p.kv(audio_tokens) for p in projs])
+        ks, vs = zip(*[p.kv(audio_tokens[nu:]) for p in projs])
         o = dot_product_attention_bshd(
             jnp.concatenate(qs, 2), jnp.concatenate(ks, 2), jnp.concatenate(vs, 2)
         )
         outs = jnp.split(o, 3, axis=2)
-        out = x
-        for i, (proj, mask, scale) in enumerate(
-            zip(projs, masks, motion_scale)
+        out_c = xc
+        out_u = x[:nu]
+        inner = self.heads * self.head_dim
+        for i, (proj, zc, mask, scale) in enumerate(
+            zip(projs, zero_convs, masks, motion_scale)
         ):
             h = proj.out(outs[i])
-            h = h * mask[:, :, None].astype(h.dtype)
-            # zero-initialized 1x1 conv == Dense on channel-last tokens
-            h = nn.Dense(
-                h.shape[-1],
-                kernel_init=nn.initializers.zeros,
-                dtype=self.dtype,
-                name=f"zero_conv_{i}",
-            )(h)
-            out = out + scale * h
-        x = out
+            h = h * mask[nu:, :, None].astype(h.dtype)
+            out_c = out_c + scale * zc(h)
+            if nu:
+                b_out = proj.out(
+                    jnp.zeros((1, 1, self.heads, self.head_dim), self.dtype)
+                )
+                b_zc = zc(jnp.zeros((1, 1, x.shape[-1]), self.dtype))
+                hu = mask[:nu, :, None].astype(b_out.dtype) * (
+                    zc(b_out) - b_zc
+                ) + b_zc
+                out_u = out_u + scale * hu
+        x = jnp.concatenate([out_u, out_c], 0) if nu else out_c
         pn3 = LayerNorm(name="norm3", params_only=True)(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(x, pre_norm=(*pn3, 1e-5))
         return x
@@ -364,6 +390,7 @@ class SpatialTransformerAudio(nn.Module):
         audio_tokens: jnp.ndarray,
         masks,
         motion_scale: Sequence[float] = (1.0, 1.0, 1.0),
+        n_uncond_rows: int = 0,
     ):
         residual = x
         h = GroupNorm(32, 1e-6, name="norm")(x)
@@ -371,7 +398,7 @@ class SpatialTransformerAudio(nn.Module):
         tokens = nn.Dense(self.inner_dim, dtype=self.dtype, name="proj_in")(tokens)
         tokens = AudioTransformerBlock(
             self.heads, self.inner_dim // self.heads, self.dtype, name="block"
-        )(tokens, audio_tokens, masks, motion_scale)
+        )(tokens, audio_tokens, masks, motion_scale, n_uncond_rows)
         tokens = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj_out")(tokens)
         return _unflatten_hw(tokens, hw) + residual
 
@@ -392,11 +419,28 @@ def sinusoidal_positions(max_len: int, dim: int) -> jnp.ndarray:
     return pe
 
 
+FORCE_TEMPORAL_LAYOUT = None  # tests: "tokens" | "lanes" | None (auto)
+
+
 class TemporalAttention(nn.Module):
-    """Frame-axis attention computed in (B, F, L, C) layout via einsum —
-    no (B*HW, F, C) transposes, which otherwise dominate motion-module
-    cost (the per-module layout shuffle moves hundreds of MB through HBM).
-    Param names match `Attention` (to_q/k/v/out) for converter parity."""
+    """Frame-axis attention computed without (B*HW, F, C) transposes,
+    which otherwise dominate motion-module cost (the per-module layout
+    shuffle moves hundreds of MB through HBM). With F ~ 12 the per-
+    position F x F x D attention matmuls are far below MXU tile size
+    (0.3% utilization as batched dots); formulate as broadcast multiply +
+    reduce so it runs on the VPU and fuses.
+
+    Two equivalent formulations, picked at trace time:
+      * "tokens": everything in (B, F, L, H, D) with D minor — simple,
+        but D=40/80 and H=8 minors force padded (8,128) VPU tiles.
+      * "lanes" (TPU): q/k/v produced directly in (H, D, B, F, L) by
+        contraction-order choice (every einsum below is in the dot's
+        NATURAL output order, so XLA inserts no transposes), keeping the
+        128-aligned L axis minor through logits, softmax and the
+        weighted sum — full lane utilization on the VPU.
+
+    Param names match `Attention` (to_q/k/v/out) for converter parity.
+    """
 
     heads: int
     head_dim: int
@@ -406,14 +450,39 @@ class TemporalAttention(nn.Module):
     def __call__(self, x: jnp.ndarray):
         b, f, l, c = x.shape
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        layout = FORCE_TEMPORAL_LAYOUT or (
+            "lanes" if jax.default_backend() == "tpu" else "tokens"
+        )
+        to_q = DenseW(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        to_k = DenseW(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        to_v = DenseW(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        to_out = DenseW(c, dtype=self.dtype, name="to_out")
+        if layout == "lanes":
+            h, d = self.heads, self.head_dim
+            xd = x.astype(self.dtype)
+            wq, _ = to_q(x, return_weights=True)
+            wk, _ = to_k(x, return_weights=True)
+            wv, _ = to_v(x, return_weights=True)
+            wo, bo = to_out(jnp.zeros((1, 1, 1, inner), x.dtype),
+                            return_weights=True)
+            proj = lambda w: jnp.einsum(
+                "chd,bflc->hdbfl", w.reshape(c, h, d), xd
+            )
+            q, k, v = proj(wq), proj(wk), proj(wv)
+            qf = q.astype(jnp.float32) / math.sqrt(d)
+            kf = k.astype(jnp.float32)
+            logits = jnp.sum(
+                qf[:, :, :, :, None] * kf[:, :, :, None], axis=1
+            )  # (H, B, F, G, L)
+            probs = jax.nn.softmax(logits, axis=3)
+            o = jnp.sum(
+                probs[:, None].astype(v.dtype) * v[:, :, :, None], axis=4
+            )  # (H, D, B, F, L)
+            out = jnp.einsum("hdbfl,hdo->bflo", o, wo.reshape(h, d, c))
+            return out + bo.astype(out.dtype)
+        q, k, v = to_q(x), to_k(x), to_v(x)
         hsplit = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
         q, k, v = hsplit(q), hsplit(k), hsplit(v)
-        # With F ~ 12 the per-position F x F x D attention matmuls are far
-        # below MXU tile size (0.3% utilization as batched dots); formulate
-        # as broadcast multiply + reduce so it runs on the VPU and fuses.
         qf = q.astype(jnp.float32) / math.sqrt(self.head_dim)
         kf = k.astype(jnp.float32)
         logits = jnp.sum(
@@ -424,7 +493,7 @@ class TemporalAttention(nn.Module):
             probs[..., None].astype(v.dtype) * v[:, None], axis=2
         )  # (B, F, L, H, D)
         o = o.reshape(b, f, l, inner)
-        return nn.Dense(c, dtype=self.dtype, name="to_out")(o)
+        return to_out(o)
 
 
 class TemporalTransformerBlock(nn.Module):

@@ -26,7 +26,10 @@ Forward signature (all channel-last):
   banks        list of 16 (B, L_i, C_i) from ReferenceUNet2D
   motion_scale (pose, face, lip) python floats
   n_uncond     static int: first n_uncond batch rows are the CFG uncond
-               half (self-only reference attention)
+               half — self-only reference attention, and their
+               audio_tokens/context MUST be zeroed (as the pipeline
+               does): the audio branch is then computed in closed form
+               for those rows (blocks.AudioTransformerBlock)
 """
 from __future__ import annotations
 
@@ -151,7 +154,8 @@ class DenoisingUNet3D(nn.Module):
                             layer_in_ch,  # reference width quirk
                             self.dtype,
                             name=f"down_{bi}_audio_{li}",
-                        )(x, audio_ctx, level_masks(bi), motion_scale)
+                        )(x, audio_ctx, level_masks(bi), motion_scale,
+                          n_uncond * f)
                 if self.use_motion_module:
                     x = MM(
                         self.heads,

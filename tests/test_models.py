@@ -127,3 +127,96 @@ def test_audio_proj():
     params = ap.init(rng, x)
     out = ap.apply(params, x)
     assert out.shape == (1, 3, 32, 768)
+
+
+def _perturb(params, seed, scale=0.05):
+    """Add noise to every param so zero-initialized modules are active."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    return jax.tree.unflatten(
+        treedef,
+        [l + scale * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    )
+
+
+def test_audio_block_uncond_skip_matches_full_compute():
+    """n_uncond_rows>0 computes the uncond audio branch in closed form;
+    with zeroed uncond audio tokens it must equal the full-batch path."""
+    from mmgt_tpu.models.blocks import AudioTransformerBlock
+
+    rng = np.random.default_rng(7)
+    n, nu, l, c = 4, 2, 64, 80
+    x = jnp.asarray(rng.standard_normal((n, l, c)), jnp.float32) * 0.3
+    audio = jnp.asarray(rng.standard_normal((n, 32, 768)), jnp.float32) * 0.3
+    audio = audio.at[:nu].set(0.0)
+    masks = tuple(
+        jnp.asarray(rng.uniform(0, 1, (n, l)) > 0.5, jnp.float32)
+        for _ in range(3)
+    )
+    blk = AudioTransformerBlock(heads=2, head_dim=40)
+    params = _perturb(blk.init(jax.random.PRNGKey(3), x, audio, masks), 11)
+    full = blk.apply(params, x, audio, masks, (1.0, 2.0, 3.0))
+    skip = blk.apply(params, x, audio, masks, (1.0, 2.0, 3.0), nu)
+    np.testing.assert_allclose(
+        np.asarray(skip), np.asarray(full), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_unet3d_uncond_audio_skip_matches_full_compute():
+    """UNet-level: n_uncond with zeroed uncond audio row equals n_uncond=0
+    (banks=None so n_uncond changes nothing but the audio route)."""
+    b, f, h, w = 2, 2, 8, 8
+    den = DenoisingUNet3D(**TINY)
+    rng = jax.random.PRNGKey(5)
+    latents = jnp.asarray(
+        np.random.default_rng(8).standard_normal((b, f, h, w, 4)), jnp.float32
+    )
+    ctx = jnp.zeros((b, 1, 768))
+    audio = jnp.asarray(
+        np.random.default_rng(9).standard_normal((b, f, 32, 768)), jnp.float32
+    )
+    audio = audio.at[:1].set(0.0)
+    masks = _masks(b, f, h, w)
+    t = jnp.full((b,), 10, jnp.int32)
+    params = _perturb(
+        den.init(rng, latents, t, ctx, audio, None, masks, None), 13
+    )
+    full = den.apply(params, latents, t, ctx, audio, None, masks, None)
+    skip = den.apply(
+        params, latents, t, ctx, audio, None, masks, None, n_uncond=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(skip), np.asarray(full), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_temporal_attention_lanes_layout_matches_tokens():
+    """The lane-major (H,D,B,F,L) temporal-attention formulation must be
+    numerically equivalent to the token-major path (same math, different
+    contraction/layout order)."""
+    from mmgt_tpu.models import blocks as B
+
+    rng = np.random.default_rng(21)
+    b, f, l, c = 2, 4, 64, 32
+    x = jnp.asarray(rng.standard_normal((b, f, l, c)), jnp.float32) * 0.5
+    attn = B.TemporalAttention(heads=4, head_dim=8)
+    old = B.FORCE_TEMPORAL_LAYOUT
+    try:
+        B.FORCE_TEMPORAL_LAYOUT = "tokens"
+        params = attn.init(jax.random.PRNGKey(0), x)
+        tok = attn.apply(params, x)
+        B.FORCE_TEMPORAL_LAYOUT = "lanes"
+        lan = attn.apply(params, x)
+    finally:
+        B.FORCE_TEMPORAL_LAYOUT = old
+    np.testing.assert_allclose(
+        np.asarray(lan), np.asarray(tok), atol=2e-5, rtol=1e-4
+    )
+    # and it is differentiable (training path)
+    B.FORCE_TEMPORAL_LAYOUT = "lanes"
+    try:
+        g = jax.grad(lambda p: jnp.sum(attn.apply(p, x) ** 2))(params)
+        assert all(bool(jnp.isfinite(a).all()) for a in jax.tree.leaves(g))
+    finally:
+        B.FORCE_TEMPORAL_LAYOUT = old
