@@ -469,12 +469,17 @@ class TemporalAttention(nn.Module):
                 "chd,bflc->hdbfl", w.reshape(c, h, d), xd
             )
             q, k, v = proj(wq), proj(wk), proj(wv)
-            qf = q.astype(jnp.float32) / math.sqrt(d)
-            kf = k.astype(jnp.float32)
+            # multiply in compute dtype, ACCUMULATE f32 (dtype=) — keeps
+            # the projections writing bf16 (an f32 astype here would fuse
+            # backward into them, doubling their HBM writes) while the
+            # softmax still sees f32 sums; scale after the reduce, exact
+            # in f32
             logits = jnp.sum(
-                qf[:, :, :, :, None] * kf[:, :, :, None], axis=1
+                q[:, :, :, :, None] * k[:, :, :, None],
+                axis=1,
+                dtype=jnp.float32,
             )  # (H, B, F, G, L)
-            probs = jax.nn.softmax(logits, axis=3)
+            probs = jax.nn.softmax(logits / math.sqrt(d), axis=3)
             o = jnp.sum(
                 probs[:, None].astype(v.dtype) * v[:, :, :, None], axis=4
             )  # (H, D, B, F, L)

@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--no-bank-cache", action="store_true",
                     help="skip the precomputed two-segment bank K/V")
+    ap.add_argument("--temporal-layout", default=None,
+                    choices=("tokens", "lanes"),
+                    help="force the motion-module attention formulation")
+    ap.add_argument("--no-uncond", action="store_true",
+                    help="run with n_uncond=0 (full CFG batch everywhere)")
     args = ap.parse_args()
 
     import jax
@@ -33,6 +38,11 @@ def main():
     from mmgt_tpu.pipelines.pose2vid import Pose2VideoPipeline
     from mmgt_tpu.utils import xplane
     from mmgt_tpu.utils.profiling import trace
+
+    if args.temporal_layout:
+        from mmgt_tpu.models import blocks as _B
+
+        _B.FORCE_TEMPORAL_LAYOUT = args.temporal_layout
 
     dt = jnp.bfloat16
     pipe = Pose2VideoPipeline.build(dtype=dt)
@@ -59,7 +69,7 @@ def main():
         for i, (l, c) in enumerate(pipe._bank_shapes(h8, h8))
     ]
     banks = [jnp.repeat(bk, b, axis=0) for bk in banks1]
-    n_uncond = args.mb
+    n_uncond = 0 if args.no_uncond else args.mb
 
     banks_kv = None
     if not args.no_bank_cache:
