@@ -447,7 +447,13 @@ class TemporalAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, pre_norm=None, pe=None):
+        """Without `pre_norm`, x is the (already normalized) attention
+        input and the ATTENTION OUTPUT is returned. With
+        `pre_norm=(scale, bias, eps)` (+ `pe` (F, C)), x is the raw block
+        stream and the module returns x + attn(LN(x) + pe) — fused into
+        one Pallas kernel on TPU (`ops.motion_attention`), composed from
+        XLA ops elsewhere."""
         b, f, l, c = x.shape
         inner = self.heads * self.head_dim
         layout = FORCE_TEMPORAL_LAYOUT or (
@@ -457,6 +463,29 @@ class TemporalAttention(nn.Module):
         to_k = DenseW(inner, use_bias=False, dtype=self.dtype, name="to_k")
         to_v = DenseW(inner, use_bias=False, dtype=self.dtype, name="to_v")
         to_out = DenseW(c, dtype=self.dtype, name="to_out")
+        residual = None
+        if pre_norm is not None:
+            from mmgt_tpu.ops.motion_attention import (
+                motion_attention,
+                use_motion_kernel,
+            )
+            from mmgt_tpu.ops.norms import layer_norm
+
+            scale_p, bias_p, eps = pre_norm
+            if inner == c and use_motion_kernel(l, f, c, self.heads):
+                wq, _ = to_q(x, return_weights=True)
+                wk, _ = to_k(x, return_weights=True)
+                wv, _ = to_v(x, return_weights=True)
+                wo, bo = to_out(
+                    jnp.zeros((1, 1, 1, inner), x.dtype), return_weights=True
+                )
+                return motion_attention(
+                    x, scale_p, bias_p, pe, wq, wk, wv, wo, bo,
+                    self.heads, eps,
+                )
+            residual = x
+            x = layer_norm(x, scale_p, bias_p, eps)
+            x = x + pe[None, :, None, :].astype(x.dtype)
         if layout == "lanes":
             h, d = self.heads, self.head_dim
             xd = x.astype(self.dtype)
@@ -484,7 +513,8 @@ class TemporalAttention(nn.Module):
                 probs[:, None].astype(v.dtype) * v[:, :, :, None], axis=4
             )  # (H, D, B, F, L)
             out = jnp.einsum("hdbfl,hdo->bflo", o, wo.reshape(h, d, c))
-            return out + bo.astype(out.dtype)
+            out = out + bo.astype(out.dtype)
+            return out if residual is None else residual + out
         q, k, v = to_q(x), to_k(x), to_v(x)
         hsplit = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
         q, k, v = hsplit(q), hsplit(k), hsplit(v)
@@ -498,7 +528,8 @@ class TemporalAttention(nn.Module):
             probs[..., None].astype(v.dtype) * v[:, None], axis=2
         )  # (B, F, L, H, D)
         o = o.reshape(b, f, l, inner)
-        return to_out(o)
+        out = to_out(o)
+        return out if residual is None else residual + out
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -511,16 +542,25 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        f = x.shape[1]
-        pe = sinusoidal_positions(self.max_len, x.shape[-1])[:f]
+        b, f, l, c = x.shape
+        pe = sinusoidal_positions(self.max_len, c)[:f]
         for i in range(2):
-            h = LayerNorm(name=f"norm_{i}")(x)
-            h = h + pe[None, :, None, :].astype(h.dtype)
-            x = x + TemporalAttention(
+            pn = LayerNorm(name=f"norm_{i}", params_only=True)(x)
+            # norm + PE + attention + residual fuse into one Pallas kernel
+            # on TPU (ops.motion_attention)
+            x = TemporalAttention(
                 self.heads, self.head_dim, dtype=self.dtype, name=f"attn_{i}"
-            )(h)
-        x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="ff_norm")(x))
-        return x
+            )(x, pre_norm=(*pn, 1e-5), pe=pe)
+        # ff norm goes through the fused LN->GEGLU path over (B, F*L, C)
+        # tokens: a standalone LN here materializes in whatever layout the
+        # GEGLU dot prefers (a transposed 315 MB write at the flagship
+        # level-0 shape, measured); the pallas kernel reads c-minor
+        pnf = LayerNorm(name="ff_norm", params_only=True)(x)
+        x2 = x.reshape(b, f * l, c)
+        x2 = x2 + FeedForward(dtype=self.dtype, name="ff")(
+            x2, pre_norm=(*pnf, 1e-5)
+        )
+        return x2.reshape(b, f, l, c)
 
 
 class MotionModule(nn.Module):
