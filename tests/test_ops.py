@@ -186,3 +186,62 @@ def test_group_norm_pallas_backward_matches_xla():
                 np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4,
                 err_msg=f"{name} act={act}",
             )
+
+
+def test_group_norm_blocked_matches_xla():
+    """Two-phase blocked pallas GroupNorm (rows too big for VMEM)."""
+    rng = np.random.default_rng(12)
+    from mmgt_tpu.ops.norms import group_norm
+
+    x = jnp.asarray(rng.standard_normal((2, 48, 8, 16)), jnp.float32)
+    sc = jnp.asarray(1.0 + 0.1 * rng.standard_normal(16), jnp.float32)
+    bi = jnp.asarray(0.1 * rng.standard_normal(16), jnp.float32)
+    for act in (None, "silu"):
+        ref = group_norm(x, 4, sc, bi, 1e-5, act, impl="xla")
+        out = group_norm(x, 4, sc, bi, 1e-5, act,
+                         impl="pallas_blocked_interpret")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_group_norm_blocked_backward_matches_xla():
+    rng = np.random.default_rng(13)
+    from mmgt_tpu.ops.norms import group_norm
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 4, 8)), jnp.float32)
+    sc = jnp.asarray(1.0 + 0.1 * rng.standard_normal(8), jnp.float32)
+    bi = jnp.asarray(0.1 * rng.standard_normal(8), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    def loss(impl):
+        return lambda x_, s_, b_: jnp.sum(
+            group_norm(x_, 4, s_, b_, 1e-5, "silu", impl) * g
+        )
+
+    got = jax.grad(loss("pallas_blocked_interpret"), argnums=(0, 1, 2))(
+        x, sc, bi
+    )
+    want = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, sc, bi)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_group_norm_blocked_multiblock_accumulation():
+    """Force several blocks per row so phase-0 scratch accumulation and
+    the phase-1 revisit are actually exercised."""
+    rng = np.random.default_rng(14)
+    from mmgt_tpu.ops.norms import _group_norm_pallas_blocked, group_norm
+
+    x = jnp.asarray(rng.standard_normal((2, 512, 16)), jnp.float32)
+    sc = jnp.asarray(1.0 + 0.1 * rng.standard_normal(16), jnp.float32)
+    bi = jnp.asarray(0.1 * rng.standard_normal(16), jnp.float32)
+    ref = group_norm(x, 4, sc, bi, 1e-5, "silu", impl="xla")
+    out = _group_norm_pallas_blocked(
+        x, sc, bi, 4, 1e-5, "silu", block_l=128, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
