@@ -445,6 +445,7 @@ class TemporalAttention(nn.Module):
     heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    fuse_kernel: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pre_norm=None, pe=None):
@@ -452,8 +453,8 @@ class TemporalAttention(nn.Module):
         input and the ATTENTION OUTPUT is returned. With
         `pre_norm=(scale, bias, eps)` (+ `pe` (F, C)), x is the raw block
         stream and the module returns x + attn(LN(x) + pe) — fused into
-        one Pallas kernel on TPU (`ops.motion_attention`), composed from
-        XLA ops elsewhere."""
+        one Pallas kernel on TPU (`ops.motion_attention`, unless
+        `fuse_kernel=False`), composed from XLA ops elsewhere."""
         b, f, l, c = x.shape
         inner = self.heads * self.head_dim
         layout = FORCE_TEMPORAL_LAYOUT or (
@@ -472,7 +473,11 @@ class TemporalAttention(nn.Module):
             from mmgt_tpu.ops.norms import layer_norm
 
             scale_p, bias_p, eps = pre_norm
-            if inner == c and use_motion_kernel(l, f, c, self.heads):
+            if (
+                self.fuse_kernel
+                and inner == c
+                and use_motion_kernel(l, f, c, self.heads)
+            ):
                 wq, _ = to_q(x, return_weights=True)
                 wk, _ = to_k(x, return_weights=True)
                 wv, _ = to_v(x, return_weights=True)
@@ -533,12 +538,19 @@ class TemporalAttention(nn.Module):
 
 
 class TemporalTransformerBlock(nn.Module):
-    """Two temporal self-attentions + ff over (B, F, L, C) tokens."""
+    """Two temporal self-attentions + ff over (B, F, L, C) tokens.
+
+    `fuse_kernels=False` (training: the UNet passes `not remat`) keeps
+    the plain XLA composition: the fused paths' recompute-based VJPs
+    nest inside nn.remat's own recompute (double recompute, measured
+    +18 ms on the full-size train step), while at inference the kernels
+    are a pure win."""
 
     heads: int
     head_dim: int
     max_len: int = 32
     dtype: jnp.dtype = jnp.float32
+    fuse_kernels: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -549,17 +561,21 @@ class TemporalTransformerBlock(nn.Module):
             # norm + PE + attention + residual fuse into one Pallas kernel
             # on TPU (ops.motion_attention)
             x = TemporalAttention(
-                self.heads, self.head_dim, dtype=self.dtype, name=f"attn_{i}"
+                self.heads, self.head_dim, dtype=self.dtype,
+                fuse_kernel=self.fuse_kernels, name=f"attn_{i}",
             )(x, pre_norm=(*pn, 1e-5), pe=pe)
+        pnf = LayerNorm(name="ff_norm", params_only=True)(x)
+        ff = FeedForward(dtype=self.dtype, name="ff")
+        if not self.fuse_kernels:
+            from mmgt_tpu.ops.norms import layer_norm
+
+            return x + ff(layer_norm(x, *pnf, 1e-5))
         # ff norm goes through the fused LN->GEGLU path over (B, F*L, C)
         # tokens: a standalone LN here materializes in whatever layout the
         # GEGLU dot prefers (a transposed 315 MB write at the flagship
         # level-0 shape, measured); the pallas kernel reads c-minor
-        pnf = LayerNorm(name="ff_norm", params_only=True)(x)
         x2 = x.reshape(b, f * l, c)
-        x2 = x2 + FeedForward(dtype=self.dtype, name="ff")(
-            x2, pre_norm=(*pnf, 1e-5)
-        )
+        x2 = x2 + ff(x2, pre_norm=(*pnf, 1e-5))
         return x2.reshape(b, f, l, c)
 
 
@@ -576,6 +592,7 @@ class MotionModule(nn.Module):
     heads: int = 8
     max_len: int = 32
     dtype: jnp.dtype = jnp.float32
+    fuse_kernels: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, video_length: int):
@@ -586,7 +603,8 @@ class MotionModule(nn.Module):
         tokens = t.reshape(b, video_length, h * w, c)
         tokens = nn.Dense(c, dtype=self.dtype, name="proj_in")(tokens)
         tokens = TemporalTransformerBlock(
-            self.heads, c // self.heads, self.max_len, self.dtype, name="block"
+            self.heads, c // self.heads, self.max_len, self.dtype,
+            self.fuse_kernels, name="block",
         )(tokens)
         tokens = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"

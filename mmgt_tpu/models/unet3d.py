@@ -161,6 +161,7 @@ class DenoisingUNet3D(nn.Module):
                         self.heads,
                         self.motion_max_len,
                         self.dtype,
+                        fuse_kernels=not self.remat,
                         name=f"down_{bi}_motion_{li}",
                     )(x, f)
                 res_stack.append(x)
@@ -175,7 +176,8 @@ class DenoisingUNet3D(nn.Module):
         )(x, context, next_bank(), f, bank_gate, next_bank_kv())
         if self.use_motion_module:
             x = MM(
-                self.heads, self.motion_max_len, self.dtype, name="mid_motion"
+                self.heads, self.motion_max_len, self.dtype,
+                fuse_kernels=not self.remat, name="mid_motion",
             )(x, f)
         x = RB(chans[-1], dtype=self.dtype, name="mid_res_1")(x, temb_f)
 
@@ -202,6 +204,7 @@ class DenoisingUNet3D(nn.Module):
                         self.heads,
                         self.motion_max_len,
                         self.dtype,
+                        fuse_kernels=not self.remat,
                         name=f"up_{bi}_motion_{li}",
                     )(x, f)
             if bi < n_blocks - 1:
