@@ -95,9 +95,14 @@ class BasicTransformerBlock(nn.Module):
         x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(
             normed
         )
-        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
-            LayerNorm(name="norm2")(x), context
-        )
+        attn2 = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")
+        if context.shape[1] == 1:
+            # 1-token cross-attention ignores its query input (see
+            # TemporalBasicTransformerBlock) — skip norm2, keep its params
+            LayerNorm(name="norm2", params_only=True)(x)
+            x = x + attn2(x, context)
+        else:
+            x = x + attn2(LayerNorm(name="norm2")(x), context)
         x = x + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
         return x, bank
 
@@ -155,9 +160,16 @@ class TemporalBasicTransformerBlock(nn.Module):
                 bank_kv=bank_kv,
             )
 
-        x = x + Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
-            LayerNorm(name="norm2")(x), context
-        )
+        attn2 = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")
+        if context.shape[1] == 1:
+            # single-KV-token cross-attention ignores its query input
+            # entirely (softmax over one key is 1 -> output is to_out(v));
+            # skip norm2's 315 MB materialization, declaring its params
+            # for checkpoint parity
+            LayerNorm(name="norm2", params_only=True)(x)
+            x = x + attn2(x, context)
+        else:
+            x = x + attn2(LayerNorm(name="norm2")(x), context)
         pn3 = LayerNorm(name="norm3", params_only=True)(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(x, pre_norm=(*pn3, 1e-5))
         return x
