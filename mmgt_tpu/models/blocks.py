@@ -299,7 +299,6 @@ class AudioTransformerBlock(nn.Module):
         outs = jnp.split(o, 3, axis=2)
         out_c = xc
         out_u = x[:nu]
-        inner = self.heads * self.head_dim
         for i, (proj, zc, mask, scale) in enumerate(
             zip(projs, zero_convs, masks, motion_scale)
         ):
@@ -519,7 +518,11 @@ class TemporalAttention(nn.Module):
             # the projections writing bf16 (an f32 astype here would fuse
             # backward into them, doubling their HBM writes) while the
             # softmax still sees f32 sums; scale after the reduce, exact
-            # in f32
+            # in f32. Tradeoff: individual q*k products round to bf16
+            # before accumulation (~bf16-eps logit noise, measured 1-2
+            # output ulp); the fused kernel (ops.motion_attention), which
+            # serves every kernel-eligible shape, keeps exact f32
+            # products since its operands never leave VMEM.
             logits = jnp.sum(
                 q[:, :, :, :, None] * k[:, :, :, None],
                 axis=1,

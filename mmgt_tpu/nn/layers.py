@@ -362,33 +362,24 @@ class Attention(nn.Module):
         )
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv)
 
-        if single_kv:
-            # o would be v broadcast over lq — rank-1, so to_out commutes
-            # with the broadcast: project the single token and broadcast
-            # AFTER, replacing an (lq x inner x out) matmul of identical
-            # rows with a 1-token one.
-            kernel_init = (
-                nn.initializers.zeros
-                if self.zero_init_out
-                else nn.initializers.lecun_normal()
-            )
-            o1 = nn.Dense(
-                out_dim, dtype=self.dtype, name="to_out", kernel_init=kernel_init
-            )(v)  # (b, 1, out_dim)
-            return jnp.broadcast_to(o1, (b, lq, out_dim))
-        else:
-            # BSHD layout: no head transposes, kernel-native head_dim
-            lk = k.shape[1]
-            q = q.reshape(b, lq, self.heads, self.head_dim)
-            k = k.reshape(b, lk, self.heads, self.head_dim)
-            v = v.reshape(b, lk, self.heads, self.head_dim)
-            o = dot_product_attention_bshd(q, k, v, kv_lens=kv_lens)
-            o = o.reshape(b, lq, inner)
         kernel_init = (
             nn.initializers.zeros
             if self.zero_init_out
             else nn.initializers.lecun_normal()
         )
-        return nn.Dense(
+        to_out = nn.Dense(
             out_dim, dtype=self.dtype, name="to_out", kernel_init=kernel_init
-        )(o)
+        )
+        if single_kv:
+            # o would be v broadcast over lq — rank-1, so to_out commutes
+            # with the broadcast: project the single token and broadcast
+            # AFTER, replacing an (lq x inner x out) matmul of identical
+            # rows with a 1-token one.
+            return jnp.broadcast_to(to_out(v), (b, lq, out_dim))
+        # BSHD layout: no head transposes, kernel-native head_dim
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.heads, self.head_dim)
+        k = k.reshape(b, lk, self.heads, self.head_dim)
+        v = v.reshape(b, lk, self.heads, self.head_dim)
+        o = dot_product_attention_bshd(q, k, v, kv_lens=kv_lens)
+        return to_out(o.reshape(b, lq, inner))

@@ -21,12 +21,14 @@ lane slices, and the F x F logits/probs/weighted-sum run on the VPU at
 full lane utilization with zero head-dim padding — the same trick as the
 "lanes" XLA formulation, but without any intermediate leaving VMEM.
 
-Numerics: LN statistics and softmax in f32; projection dots accumulate
-f32 and round to the compute dtype; logits accumulate bf16 products in
-f32 (bf16 x bf16 products are exact in f32); the probs @ v sum
-accumulates f32. The custom VJP recomputes the plain-XLA composition, so
-training is exact without a handwritten backward kernel (same pattern as
-ops.fused_ln).
+Numerics: LN statistics and softmax in f32; q/k stay in the projection
+dots' f32 accumulation so the logits multiply-reduce runs on EXACT f32
+products (VPU lanes are 32-bit — keeping them f32 costs only VMEM; the
+XLA "lanes" fallback in models/blocks.py instead multiplies in bf16 to
+keep the projections writing bf16 to HBM, a documented tradeoff); the
+probs @ v sum accumulates bf16 products in f32. The custom VJP
+recomputes the plain-XLA composition, so training is exact without a
+handwritten backward kernel (same pattern as ops.fused_ln).
 """
 from __future__ import annotations
 
@@ -70,12 +72,15 @@ def _motion_kernel(gb_ref, pe_ref, x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     h = xc * jax.lax.rsqrt(var + eps) * g + b + pe_ref[...][:, None, :]
     h2 = h.reshape(f * bl, c).astype(cdt)          # merge major dims
 
-    # transposed projections: (C, inner) x (F*BL, C) -> (inner, F*BL)
+    # transposed projections: (C, inner) x (F*BL, C) -> (inner, F*BL).
+    # q/k keep the dot's f32 accumulation (exact logits products on the
+    # 32-bit VPU lanes); v rounds to the compute dtype for the PV sum.
     tproj = lambda w_ref: jax.lax.dot_general(
         w_ref[...], h2, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(cdt)
-    qt, kt, vt = tproj(wq_ref), tproj(wk_ref), tproj(wv_ref)
+    )
+    qt, kt = tproj(wq_ref), tproj(wk_ref)
+    vt = tproj(wv_ref).astype(cdt)
 
     o_rows = []
     for hh in range(heads):

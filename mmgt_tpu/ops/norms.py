@@ -202,15 +202,15 @@ def _group_norm_pallas_blocked(x, scale, bias, num_groups: int, eps: float,
 
 
 def _gn_blocked_block_l(l: int, c: int) -> int:
-    """Largest block length: a divisor of l, multiple of 8, bounded so a
-    double-buffered in+out block pair stays well under VMEM."""
+    """Largest block length that divides l AND is a multiple of 8,
+    bounded so a double-buffered in+out block pair stays well under
+    VMEM. Returns 0 when l admits no such block (callers must reject)."""
     cap = max(8, (8 * 1024 * 1024) // max(c * 4, 1) // 8 * 8)
-    best = 0
-    for cand in range(min(cap, l), 7, -8):
+    start = min(cap, l) // 8 * 8
+    for cand in range(start, 7, -8):
         if l % cand == 0:
-            best = cand
-            break
-    return best
+            return cand
+    return 0
 
 
 @functools.partial(
@@ -385,9 +385,14 @@ def group_norm(
         l = 1
         for s in x.shape[1:-1]:
             l *= s
+        block_l = _gn_blocked_block_l(l, x.shape[-1])
+        if block_l == 0:
+            raise ValueError(
+                f"impl={impl!r}: row length {l} has no multiple-of-8 "
+                f"divisor <= the VMEM cap; use impl='xla'"
+            )
         return _group_norm_blocked_diff(
-            x, scale, bias, num_groups, eps, act,
-            _gn_blocked_block_l(l, x.shape[-1]),
+            x, scale, bias, num_groups, eps, act, block_l,
             impl == "pallas_blocked_interpret",
         )
     return _group_norm_xla(x, num_groups, scale, bias, eps, act)

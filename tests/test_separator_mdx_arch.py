@@ -28,7 +28,12 @@ def _export_onnx(model, example, path):
     custom onnxscript functions (true for any plain nn.Module); patch
     it to identity so export works in this image.
     """
-    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils,
+        )
+    except ImportError:
+        pytest.skip("torchscript ONNX exporter internals moved; skip")
 
     orig = onnx_proto_utils._add_onnxscript_fn
     onnx_proto_utils._add_onnxscript_fn = lambda b, c: b

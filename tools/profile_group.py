@@ -41,8 +41,13 @@ def main():
 
     if args.temporal_layout:
         from mmgt_tpu.models import blocks as _B
+        from mmgt_tpu.ops import motion_attention as _MA
 
         _B.FORCE_TEMPORAL_LAYOUT = args.temporal_layout
+        # forcing an XLA formulation must also bypass the fused motion
+        # kernel, which otherwise wins the route on all kernel-eligible
+        # shapes and makes the A/B meaningless
+        _MA.use_motion_kernel = lambda *a: False
 
     dt = jnp.bfloat16
     pipe = Pose2VideoPipeline.build(dtype=dt)
