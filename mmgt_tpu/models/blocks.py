@@ -189,7 +189,7 @@ class CrossAttnProj(nn.Module):
         self.to_q = DenseW(inner, use_bias=False, dtype=self.dtype)
         self.to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype)
         self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
-        self.to_out = nn.Dense(inner, dtype=self.dtype)
+        self.to_out = DenseW(inner, dtype=self.dtype)
 
     def q_weight(self, x):
         """Compute-dtype q kernel, for fusing the caller's LN into the
@@ -269,7 +269,9 @@ class AudioTransformerBlock(nn.Module):
         ]
         zero_convs = [
             # zero-initialized 1x1 conv == Dense on channel-last tokens
-            nn.Dense(
+            # (DenseW: identical params/numerics, but hands out its weights
+            # so the 3 branches batch into block matmuls below)
+            DenseW(
                 x.shape[-1],
                 kernel_init=nn.initializers.zeros,
                 dtype=self.dtype,
@@ -296,25 +298,38 @@ class AudioTransformerBlock(nn.Module):
         o = dot_product_attention_bshd(
             jnp.concatenate(qs, 2), jnp.concatenate(ks, 2), jnp.concatenate(vs, 2)
         )
-        outs = jnp.split(o, 3, axis=2)
-        out_c = xc
-        out_u = x[:nu]
-        for i, (proj, zc, mask, scale) in enumerate(
-            zip(projs, zero_convs, masks, motion_scale)
-        ):
-            h = proj.out(outs[i])
-            h = h * mask[nu:, :, None].astype(h.dtype)
-            out_c = out_c + scale * zc(h)
-            if nu:
-                b_out = proj.out(
-                    jnp.zeros((1, 1, self.heads, self.head_dim), self.dtype)
-                )
-                b_zc = zc(jnp.zeros((1, 1, x.shape[-1]), self.dtype))
-                hu = mask[:nu, :, None].astype(b_out.dtype) * (
-                    zc(b_out) - b_zc
-                ) + b_zc
-                out_u = out_u + scale * hu
-        x = jnp.concatenate([out_u, out_c], 0) if nu else out_c
+        # the 3 branches' out / zero-conv projections batch into TWO block
+        # matmuls instead of 6: heads of attention i occupy head-block i of
+        # `o`, so (B,L,3,inner) x (3,inner,C) is one batched dot, and the
+        # mask·scale-gated zero convs contract jointly over the stacked
+        # (3C, C) kernel — Σ_i s_i·zc_i(m_i·h_i) in one MXU call.
+        c_dim = x.shape[-1]
+        inner = self.heads * self.head_dim
+        o3 = o.reshape(b - nu, lq, 3, inner)
+        wo, bo = zip(*[p.to_out(o3[:, :1, i], return_weights=True)
+                       for i, p in enumerate(projs)])
+        wz, bz = zip(*[zc(x[:1, :1], return_weights=True)
+                       for zc in zero_convs])
+        scales = jnp.asarray(motion_scale, self.dtype)           # (3,)
+        h3 = jnp.einsum("blid,idc->blic", o3, jnp.stack(wo))
+        h3 = h3 + jnp.stack(bo).astype(h3.dtype)[None, None]
+        mask3 = jnp.stack([m[nu:] for m in masks], 2).astype(h3.dtype)
+        h3 = h3 * (mask3 * scales[None, None, :])[..., None]
+        w_zc = jnp.concatenate(wz, 0)                            # (3C, C)
+        b_zc3 = jnp.stack(bz).astype(self.dtype)                 # (3, C)
+        delta = h3.reshape(b - nu, lq, 3 * c_dim) @ w_zc
+        out_c = xc + delta + (scales[:, None] * b_zc3).sum(0)
+        if nu:
+            # uncond closed form: x + Σ_i s_i·(mask_i·(b_out_i@W_zc_i)+b_zc_i)
+            zc_b = jnp.stack(
+                [b.astype(self.dtype) @ w for b, w in zip(bo, wz)]
+            )                                                    # (3, C)
+            mask_u3 = jnp.stack([m[:nu] for m in masks], 2).astype(self.dtype)
+            hu = jnp.einsum("bli,ic->blc", mask_u3 * scales[None, None, :], zc_b)
+            out_u = x[:nu] + hu + (scales[:, None] * b_zc3).sum(0)
+            x = jnp.concatenate([out_u, out_c], 0)
+        else:
+            x = out_c
         pn3 = LayerNorm(name="norm3", params_only=True)(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(x, pre_norm=(*pn3, 1e-5))
         return x

@@ -128,13 +128,13 @@ class DenseW(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_weights: bool = False):
         in_dim = x.shape[-1]
         w = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (in_dim, self.features), jnp.float32,
+            "kernel", self.kernel_init, (in_dim, self.features), jnp.float32,
         )
         b = (
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
