@@ -22,6 +22,10 @@ class SchedulerConfig:
     timestep_spacing: str = "trailing"
     steps_offset: int = 1
     clip_sample: bool = False
+    # "ddim" (reference parity, pipeline_pose2vid_long.py:633-635) or
+    # "dpm++2m" (beyond-reference few-step solver, diffusion/dpm.py —
+    # ~25-step DDIM trajectory accuracy at 12-15 steps, see PERF.md)
+    solver: str = "ddim"
 
 
 @dataclasses.dataclass

@@ -138,6 +138,15 @@ class DDIMScheduler:
             prev = prev + sigma * noise.astype(jnp.float32)
         return prev.astype(dtype)
 
+    # ------------------------------------------------------------------ carry
+    # Uniform sampler interface shared with the multistep solvers
+    # (diffusion/dpm.py): DDIM is single-step, so the carry is empty.
+    def init_carry(self, latents: jnp.ndarray):
+        return ()
+
+    def step_carry(self, state, model_output, step_index, sample, carry):
+        return self.step(state, model_output, step_index, sample), ()
+
     # -------------------------------------------------------------- training
     def add_noise(self, x0: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray):
         sa = self.tables.sqrt_alphas_cumprod[t].reshape(

@@ -78,22 +78,23 @@ class Lmks2VideoPipeline:
             )
         )
         masks = tuple(tuple(lv) for lv in masks)
+        # pose_feat=summed: the base PoseGuider forward is skipped, the
+        # dual-guider features flow straight into the shared conditioning
         cond, latents = self.base._prepare(
-            params, rng, ref_image, lmks_a_video, clip_embed, masks, audio_embeds
+            params, rng, ref_image, lmks_a_video, clip_embed, masks, audio_embeds,
+            pose_feat=summed,
         )
-        cond = dict(cond)
-        cond["pose_feat"] = summed  # override with the dual-guider features
         k = self.base.steps_per_launch or state.timesteps.shape[0]
         from mmgt_tpu.pipelines.pose2vid import _largest_divisor_at_most
 
         k = _largest_divisor_at_most(state.timesteps.shape[0], k)
-        from mmgt_tpu.diffusion.ddim import DDIMState
-
+        aux = self.base.scheduler.init_carry(latents)
         for o in range(0, state.timesteps.shape[0], k):
-            chunk = DDIMState(*[x[o : o + k] for x in state])
-            latents = self.base._denoise_chunk(
+            chunk = type(state)(*[x[o : o + k] for x in state])
+            latents, aux = self.base._denoise_chunk(
                 params,
                 latents,
+                aux,
                 cond,
                 chunk,
                 windows[o : o + k],

@@ -143,11 +143,13 @@ class Pose2VideoPipeline:
         k = _largest_divisor_at_most(
             num_inference_steps, self.steps_per_launch or num_inference_steps
         )
+        aux = self.scheduler.init_carry(latents)  # multistep history ((), DDIM)
         for o in range(0, num_inference_steps, k):
-            chunk_state = DDIMState(*[x[o : o + k] for x in state])
-            latents = self._denoise_chunk(
+            chunk_state = type(state)(*[x[o : o + k] for x in state])
+            latents, aux = self._denoise_chunk(
                 params,
                 latents,
+                aux,
                 cond,
                 chunk_state,
                 windows[o : o + k],
@@ -171,9 +173,22 @@ class Pose2VideoPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _prepare(
-        self, params, rng, ref_image, pose_video, clip_embed, masks, audio_embeds
+        self,
+        params,
+        rng,
+        ref_image,
+        pose_video,
+        clip_embed,
+        masks,
+        audio_embeds,
+        pose_feat=None,
     ):
-        """Reference branch + conditioning features + initial noise."""
+        """Reference branch + conditioning features + initial noise.
+
+        `pose_feat` overrides the PoseGuider features (already at latent
+        resolution) — used by pipeline variants with their own guiders
+        (lmks2vid's dual-guider sum) so the default guider forward is
+        skipped entirely, not computed and discarded."""
         dtype = self.denoising_unet.dtype
         f = pose_video.shape[1]
         w = self._num_windows(f)
@@ -206,9 +221,10 @@ class Pose2VideoPipeline:
         # tile banks to the (2*mb,) CFG batch; first mb rows (uncond) unread
         banks = [jnp.repeat(b, 2 * mb, axis=0) for b in banks]
 
-        pose_feat = self.pose_guider.apply(
-            params["pose_guider"], pose_video.astype(dtype)
-        )  # (1, F, h, w, 320)
+        if pose_feat is None:
+            pose_feat = self.pose_guider.apply(
+                params["pose_guider"], pose_video.astype(dtype)
+            )  # (1, F, h, w, 320)
         if audio_embeds is not None:
             audio_tokens = self.audio_proj.apply(
                 params["audio_proj"], audio_embeds.astype(dtype)
@@ -253,8 +269,9 @@ class Pose2VideoPipeline:
         self,
         params,
         latents,
+        aux,
         cond,
-        state: DDIMState,
+        state,  # DDIMState | DPMState — per-chunk slices of the step tables
         windows: jnp.ndarray,
         guidance_scale: float,
         motion_scale: Tuple[float, float, float],
@@ -315,7 +332,8 @@ class Pose2VideoPipeline:
             )  # (2mb, ctx, h, w, 4)
             return pred.astype(jnp.float32)
 
-        def step_fn(latents, s):
+        def step_fn(carry, s):
+            latents, aux = carry
             idx = windows[s]                      # (W, ctx_len)
             flat = idx.reshape(-1)                # (W*ctx,)
             lat_d = latents.astype(dtype)
@@ -337,11 +355,15 @@ class Pose2VideoPipeline:
             u = seg(uncond) / count
             c = seg(cond_p) / count
             noise_pred = u + guidance_scale * (c - u)
-            latents = self.scheduler.step(state, noise_pred, s, latents)
-            return latents, None
+            latents, aux = self.scheduler.step_carry(
+                state, noise_pred, s, latents, aux
+            )
+            return (latents, aux), None
 
-        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(num_steps))
-        return latents
+        (latents, aux), _ = jax.lax.scan(
+            step_fn, (latents, aux), jnp.arange(num_steps)
+        )
+        return latents, aux
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _decode_chunk(self, params, lat) -> jnp.ndarray:

@@ -27,8 +27,11 @@ def build_pipeline(cfg, rng):
     from mmgt_tpu.training.stage1 import SMGA
     from mmgt_tpu.utils.weights import load_all_weights
 
+    from mmgt_tpu.diffusion import make_scheduler
+
     pose2vid = Pose2VideoPipeline.build(
         dtype=jnp.bfloat16,
+        scheduler=make_scheduler(cfg.scheduler),
         context_size=cfg.context_size,
         context_overlap=cfg.context_overlap,
         window_microbatch=cfg.window_microbatch,
@@ -78,6 +81,11 @@ def main():
     ap.add_argument("-L", "--length", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--use_motion_selection", action="store_true")
+    ap.add_argument(
+        "--solver", default=None, choices=["ddim", "dpm++2m"],
+        help="ddim = reference parity; dpm++2m reaches DDIM-25 accuracy "
+        "at ~12-15 steps (pair with --steps 15)",
+    )
     args = ap.parse_args()
 
     from mmgt_tpu.config import InferenceConfig, load_config
@@ -99,6 +107,12 @@ def main():
     if args.use_motion_selection:
         overrides["use_motion_selection"] = True
     cfg = load_config(InferenceConfig, args.config, **overrides)
+    if args.solver is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, scheduler=dataclasses.replace(cfg.scheduler, solver=args.solver)
+        )
 
     rng = jax.random.PRNGKey(args.seed)
     pipe = build_pipeline(cfg, rng)

@@ -93,13 +93,16 @@ def main():
         )
         state = pipe.scheduler.init(1)
         jitted = Pose2VideoPipeline._denoise_chunk  # class-level jit fn
+        aux = pipe.scheduler.init_carry(latents)
         traced = jitted.lower(
-            pipe, params, latents, cond, state, windows, 3.5, (1.0, 1.0, 1.0)
+            pipe, params, latents, aux, cond, state, windows, 3.5, (1.0, 1.0, 1.0)
         )
         compiled = traced.compile()
         hlo = compiled.as_text()
 
-        out = jitted(pipe, params, latents, cond, state, windows, 3.5, (1.0, 1.0, 1.0))
+        out, _ = jitted(
+            pipe, params, latents, aux, cond, state, windows, 3.5, (1.0, 1.0, 1.0)
+        )
         out.block_until_ready()
         assert np.isfinite(np.asarray(out)).all()
 
