@@ -23,6 +23,9 @@ from flax import linen as nn
 
 from mmgt_tpu.nn.layers import Attention, DenseW, FeedForward, GroupNorm, LayerNorm
 
+# A/B gate for Upsample's 4-phase coarse-grid decomposition (exact either way)
+PHASE_DECOMPOSED_UPSAMPLE = True
+
 
 # --------------------------------------------------------------------------
 # resnet / sampling blocks
@@ -64,14 +67,76 @@ class Downsample(nn.Module):
         return nn.Conv(c, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv")(x)
 
 
+class _Conv3Params(nn.Module):
+    """Bare (3,3,C,C) conv params with nn.Conv's exact tree layout/init —
+    consumed by Upsample's phase decomposition instead of being applied on
+    the upsampled grid (checkpoints and converters are oblivious)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class Upsample(nn.Module):
+    """Nearest-x2 -> 3x3 SAME conv (reference src/models/resnet.py:31-60 /
+    the SD upsampler), computed as an EXACT 4-phase decomposition: output
+    pixel (2i+di, 2j+dj) reads a 2x2 coarse window whose taps are sums of
+    the 3x3 kernel's rows/cols (nearest duplication folds fine taps that
+    hit the same coarse pixel). One 2x2 conv with 4C outputs on the COARSE
+    grid + interleave: 2.25x fewer conv MACs and no 4x-size upsampled
+    intermediate in HBM (PERF.md backlog #2)."""
+
     dtype: jnp.dtype = jnp.float32
+    # None -> module global (A/B tracing, tools/profile_vae.py);
+    # False = literal resize->conv composition
+    phase_decomposed: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
-        return nn.Conv(c, (3, 3), dtype=self.dtype, name="conv")(x)
+        decomposed = (
+            PHASE_DECOMPOSED_UPSAMPLE
+            if self.phase_decomposed is None
+            else self.phase_decomposed
+        )
+        if not decomposed:
+            x = jax.image.resize(x, (n, h * 2, w * 2, c), "nearest")
+            return nn.Conv(c, (3, 3), dtype=self.dtype, name="conv")(x)
+        kernel, bias = _Conv3Params(c, name="conv")()
+        wk = kernel.astype(self.dtype)
+        # phase di=0 reads coarse rows {i-1, i}: row weights (W0, W1+W2);
+        # phase di=1 reads rows {i, i+1}: (W0+W1, W2); same per column.
+        r0 = jnp.stack([wk[0], wk[1] + wk[2]], 0)      # (2, 3, C, C)
+        r1 = jnp.stack([wk[0] + wk[1], wk[2]], 0)
+
+        def colmix(r, dj):
+            if dj == 0:
+                return jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], 1)
+            return jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], 1)  # (2, 2, C, C)
+
+        k4 = jnp.concatenate(
+            [colmix(r0, 0), colmix(r0, 1), colmix(r1, 0), colmix(r1, 1)], -1
+        )  # (2, 2, C, 4C) — one MXU call instead of four
+        p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            p, k4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (n, h+1, w+1, 4C); phases are shifted slices of one output
+        p00 = y[:, :h, :w, :c]
+        p01 = y[:, :h, 1:, c : 2 * c]
+        p10 = y[:, 1:, :w, 2 * c : 3 * c]
+        p11 = y[:, 1:, 1:, 3 * c :]
+        out = jnp.stack([p00, p01, p10, p11], 3).reshape(n, h, w, 2, 2, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)
+        return out + bias.astype(out.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -211,10 +276,6 @@ class CrossAttnProj(nn.Module):
         k, v = self.kv(ctx)
         return self.q(x), k, v
 
-    def out(self, o):
-        b, l, h, d = o.shape
-        return self.to_out(o.reshape(b, l, h * d))
-
 
 class AudioTransformerBlock(nn.Module):
     """MM-HAA block: self-attn + 3 parallel masked audio cross-attentions.
@@ -305,6 +366,10 @@ class AudioTransformerBlock(nn.Module):
         # (3C, C) kernel — Σ_i s_i·zc_i(m_i·h_i) in one MXU call.
         c_dim = x.shape[-1]
         inner = self.heads * self.head_dim
+        # load-bearing invariant of the batched form: the (3C,C) zero-conv
+        # stack and the (3,inner,C) out stack both assume inner == C (true
+        # for every UNet width; reference attention.py:518-529 likewise).
+        assert inner == c_dim, (inner, c_dim)
         o3 = o.reshape(b - nu, lq, 3, inner)
         wo, bo = zip(*[p.to_out(o3[:, :1, i], return_weights=True)
                        for i, p in enumerate(projs)])

@@ -43,3 +43,25 @@ def test_vae_param_count_full_size():
     )
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     assert 82e6 < n < 86e6, n
+
+
+def test_upsample_phase_decomposition_exact():
+    """The 4-phase coarse-grid upsample (blocks.Upsample) must equal the
+    literal nearest-x2 -> 3x3 SAME conv composition on identical params,
+    including all borders (zero padding folds identically)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmgt_tpu.models.blocks import Upsample
+
+    rng = np.random.default_rng(0)
+    for h, w, c in ((5, 7, 8), (8, 8, 16), (1, 1, 4)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+        ref_mod = Upsample(phase_decomposed=False)
+        params = ref_mod.init(jax.random.PRNGKey(1), x)
+        want = ref_mod.apply(params, x)
+        got = Upsample(phase_decomposed=True).apply(params, x)
+        assert got.shape == (2, 2 * h, 2 * w, c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5
+        )
