@@ -18,7 +18,12 @@ the equivalent pose2vid_e2e row; `mfu` is useful-FLOP utilization of one
 v5e chip (197 bf16 TFLOP/s peak).
 
 Env overrides: BENCH_STEPS (25), BENCH_FRAMES (80), BENCH_SIZE (512),
-BENCH_MICROBATCH (5), BENCH_REPEATS (1), BENCH_MODE (audio2vid|pose2vid).
+BENCH_MICROBATCH (5), BENCH_REPEATS (1; >1 reports the median),
+BENCH_MODE (audio2vid|pose2vid|fixture|long|train_stage2),
+BENCH_PARAMS (zeros|random — random asserts finite frames),
+BENCH_WEIGHTS (dir — run verify_weights then the real-weight flagship),
+BENCH_DPM (1 — adds the audio2vid_dpm15_s row, the quality-evidenced
+<10 s configuration; see PERF.md / tools/fewstep_quality.py).
 """
 import json
 import os
@@ -37,15 +42,45 @@ SIZE = int(os.environ.get("BENCH_SIZE", "512"))
 MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", "5"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "1"))
 MODE = os.environ.get("BENCH_MODE", "audio2vid")
+PARAMS = os.environ.get("BENCH_PARAMS", "zeros")
+WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
+WITH_DPM = os.environ.get("BENCH_DPM", "1") == "1"
+if MODE == "long":
+    # long-clip stress: 3 audio slices -> 240 frames, slice chaining +
+    # candidate selection + seam splines + 30 fused context windows/step
+    FRAMES = int(os.environ.get("BENCH_FRAMES", "240"))
 
 V5E_PEAK = 197e12  # bf16 FLOP/s, one chip
 
 
 def zeros_params(tree_fn):
     """Param tree with the right shapes without compiling init programs
-    (random values don't change timing; remote-compile of init fns does)."""
+    (random values don't change timing; remote-compile of init fns does).
+
+    BENCH_PARAMS=random fills kernels with N(0, 0.02) (norm scales 1,
+    biases 0) so the flagship numerics are exercised at full scale and the
+    finite-frames assertion is meaningful (VERDICT r3 weak #5)."""
     shapes = jax.eval_shape(tree_fn)
-    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if PARAMS != "random":
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    @jax.jit
+    def fill(key):
+        out = []
+        for i, (path, s) in enumerate(leaves):
+            name = str(path[-1])
+            if "scale" in name:
+                out.append(jnp.ones(s.shape, s.dtype))
+            elif "bias" in name:
+                out.append(jnp.zeros(s.shape, s.dtype))
+            else:
+                out.append(0.02 * jax.random.normal(
+                    jax.random.fold_in(key, i), s.shape, jnp.float32
+                ).astype(s.dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return fill(jax.random.PRNGKey(0))
 
 
 def useful_flops():
@@ -113,10 +148,36 @@ def bench_audio2vid(fixture: bool = False):
     # uint8 frames (the deliverable is pixels; 4x smaller relay fetch) and
     # per-phase sync points so `components` sums to the total
     pipe, params = build_pose2vid(output_uint8=True, profile_phases=True)
-    # baseline (35-d DSP) features: the full host feature path runs for
-    # real; the wavlm variant only widens the cond projection
-    smga = SMGA(feature_type="baseline")
-    smga_params = zeros_params(lambda: smga.init_state(jax.random.PRNGKey(0), 1)).params
+    clip_model = clip_params = audio_proc = wavlm_ext = None
+    if WEIGHTS:
+        # real-checkpoint flagship (VERDICT r3 #7): certify the converters
+        # against the mounted assets, then run the real-weight pipeline
+        import subprocess
+
+        rc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "scripts/verify_weights.py"), WEIGHTS],
+            capture_output=True, text=True,
+        )
+        print(f"# verify_weights rc={rc.returncode}\n{rc.stdout[-2000:]}",
+              file=sys.stderr)
+        if rc.returncode != 0:
+            print(rc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("verify_weights failed; not benching bad weights")
+        from mmgt_tpu.utils.weights import load_all_weights
+
+        smga = SMGA(feature_type="baseline")
+        w = load_all_weights(WEIGHTS, pipe, smga)
+        params, smga_params = w["pose2vid"], w["smga"]
+        clip_model, clip_params = w.get("clip_model"), w.get("clip_params")
+        audio_proc, wavlm_ext = w.get("audio_processor"), w.get("wavlm")
+    else:
+        # baseline (35-d DSP) features: the full host feature path runs for
+        # real; the wavlm variant only widens the cond projection
+        smga = SMGA(feature_type="baseline")
+        smga_params = zeros_params(
+            lambda: smga.init_state(jax.random.PRNGKey(0), 1)
+        ).params
 
     from mmgt_tpu.config import InferenceConfig
 
@@ -125,9 +186,18 @@ def bench_audio2vid(fixture: bool = False):
         smga_params=smga_params,
         pose2vid=pipe,
         pose2vid_params=params,
+        clip_model=clip_model,
+        clip_params=clip_params,
+        audio_processor=audio_proc,
+        wavlm_extractor=wavlm_ext,
         config=InferenceConfig(
             width=SIZE, height=SIZE, video_length=FRAMES,
             num_inference_steps=STEPS, window_microbatch=MICROBATCH,
+            # long mode exercises the reference's full long-clip machinery
+            # (scripts/audio2vid.py:300-374): per-slice candidate sampling
+            # + continuity selection + seam splines
+            use_motion_selection=(MODE == "long"),
+            motion_candidates=3,
         ),
     )
 
@@ -161,21 +231,27 @@ def bench_audio2vid(fixture: bool = False):
     def run():
         out = a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
                   video_length=FRAMES)
+        if PARAMS == "random" or WEIGHTS:
+            fr = out["frames"]
+            assert np.isfinite(np.asarray(fr, np.float32)).all(), "non-finite frames"
+            assert np.asarray(fr).any(), "all-zero frames"
         return out
 
     t0 = time.time()
     run()
     compile_s = time.time() - t0
-    best, comp = float("inf"), {}
+    samples, comps = [], []
     for _ in range(REPEATS):
         t0 = time.time()
         run()
-        tot = time.time() - t0
-        if tot < best:
-            best = tot
-            comp = dict(a2v.timings)
+        samples.append(time.time() - t0)
+        comps.append(dict(a2v.timings))
+    best = float(np.median(samples))
+    comp = comps[samples.index(sorted(samples)[len(samples) // 2])]
+    if REPEATS > 1:
+        comp["repeat_samples_s"] = [round(s, 2) for s in samples]
 
-    if STEPS == 25 and not fixture:
+    if STEPS == 25 and not fixture and MODE != "long":
         # Proposed fidelity-relaxed row toward the <10 s north star
         # (PERF.md): 15 trailing DDIM steps. The step count is *config* in
         # the reference (animation.yaml:28-29 ships 30); the trailing
@@ -191,6 +267,29 @@ def bench_audio2vid(fixture: bool = False):
             video_length=FRAMES)
         comp["audio2vid_fast15_s"] = time.time() - t0
         a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
+
+        if WITH_DPM:
+            # The quality-evidenced <10 s configuration: DPM-Solver++(2M)
+            # at 15 steps tracks the 200-step trajectory ~5x closer than
+            # DDIM-25 (tools/fewstep_quality.py, PERF.md). Swapping the
+            # scheduler on the same pipeline retraces only the denoise
+            # chunks (DPMState tables + x0 carry); prepare/decode programs
+            # are reused.
+            from mmgt_tpu.diffusion.dpm import DPMSolverPlusPlus2M
+
+            old = pipe.scheduler
+            pipe.scheduler = DPMSolverPlusPlus2M()
+            a2v.config = _dc.replace(a2v.config, num_inference_steps=15)
+            t0 = time.time()
+            a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
+                video_length=FRAMES)
+            comp["audio2vid_dpm15_compile_s"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
+                video_length=FRAMES)
+            comp["audio2vid_dpm15_s"] = time.time() - t0
+            pipe.scheduler = old
+            a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
     return best, comp, compile_s
 
 
@@ -262,6 +361,10 @@ def main():
         metric = f"audio2vid_e2e_{FRAMES}f_{SIZE}px_{STEPS}steps_1chip"
         if MODE == "fixture":
             metric += "_fixture"
+        elif MODE == "long":
+            metric += "_long"
+        if WEIGHTS:
+            metric += "_realweights"
         fl = useful_flops()
         mfu = {}
         if "stage2_s" in comp:
@@ -270,7 +373,8 @@ def main():
             mfu["stage2"] = round(fl["stage2"] / comp["stage2_s"] / V5E_PEAK, 4)
         if "stage1_s" in comp:
             mfu["stage1"] = round(fl["stage1"] / comp["stage1_s"] / V5E_PEAK, 6)
-        comp = {k: round(v, 2) for k, v in comp.items()}
+        comp = {k: round(v, 2) if isinstance(v, float) else v
+                for k, v in comp.items()}
 
     print(
         json.dumps(
@@ -286,7 +390,8 @@ def main():
     )
     print(
         f"# devices={jax.devices()} compile={compile_s:.0f}s steps={STEPS} "
-        f"frames={FRAMES} microbatch={MICROBATCH} mode={MODE}",
+        f"frames={FRAMES} microbatch={MICROBATCH} mode={MODE} params={PARAMS} "
+        f"weights={'present:' + WEIGHTS if WEIGHTS else 'absent (set BENCH_WEIGHTS to run the real-checkpoint flagship)'}",
         file=sys.stderr,
     )
 
