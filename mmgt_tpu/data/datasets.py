@@ -98,6 +98,35 @@ def _resize_area_bilinear(m: np.ndarray, out_hw: int) -> np.ndarray:
     return np.einsum("oh,thw,pw->top", wh, m, ww, optimize=True)
 
 
+def _crop_resize(img: np.ndarray, box, out_h: int, out_w: int) -> np.ndarray:
+    """(..., H, W, C) crop to box=(top, left, h, w) then antialiased-bilinear
+    resize to (out_h, out_w) — the numpy equivalent of torchvision's
+    RandomResizedCrop apply step."""
+    t, l, h, w = box
+    crop = img[..., t : t + h, l : l + w, :]
+    wh = _triangle_weights(h, out_h)
+    ww = _triangle_weights(w, out_w)
+    return np.einsum("oh,...hwc,pw->...opc", wh, crop, ww, optimize=True)
+
+
+def _sample_crop_box(rng: np.random.Generator, h: int, w: int,
+                     scale=(1.0, 1.0), ratio=(0.9, 1.0)):
+    """torchvision RandomResizedCrop box sampling (area scale + log-uniform
+    aspect ratio, 10 tries then center fallback)."""
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        ar = float(np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1]))))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            return top, left, ch, cw
+    side = min(h, w)
+    return (h - side) // 2, (w - side) // 2, side, side
+
+
 class TalkingVideoDataset:
     """Stage-2 items from packed .npz clip records.
 
@@ -112,7 +141,8 @@ class TalkingVideoDataset:
 
     def __init__(self, meta_paths: Sequence[str], n_sample_frames: int = 12,
                  audio_margin: int = 2, levels: int = 3,
-                 pyramid_mode: str = "resize"):
+                 pyramid_mode: str = "resize", with_audio: bool = True,
+                 explicit_full_mask: bool = False):
         self.records: List[Path] = []
         for mp in meta_paths:
             meta = json.loads(Path(mp).read_text())
@@ -128,6 +158,13 @@ class TalkingVideoDataset:
         if pyramid_mode not in ("resize", "meanpool"):
             raise ValueError(pyramid_mode)
         self.pyramid_mode = pyramid_mode
+        # with_audio=False reproduces TalkingVideoDataset_move_mask_no_audio
+        # (reference talk_video.py:931-1264: same windows/masks, zero audio);
+        # explicit_full_mask=True reproduces the _pats variant's contract
+        # (talk_video.py:482-930: the full/background mask is a stored
+        # segmentation channel, not derived 1-face+lips+hands)
+        self.with_audio = with_audio
+        self.explicit_full_mask = explicit_full_mask
 
     def __len__(self):
         return len(self.records)
@@ -180,13 +217,25 @@ class TalkingVideoDataset:
                 0,
                 total - 1,
             )
-            audio = z["audio_emb"][idx].astype(np.float32)  # (f, 5, 12, 768)
+            if self.with_audio:
+                audio = z["audio_emb"][idx].astype(np.float32)  # (f, 5, 12, 768)
+            else:
+                d = z["audio_emb"].shape[-1] if "audio_emb" in z else 768
+                audio = np.zeros((f, 2 * self.margin + 1, 12, d), np.float32)
             # random reference frame outside the window (talk_video.py:395-401)
             ref_choices = [j for j in range(total) if j < start or j >= start + f]
             ref_idx = int(rng.choice(ref_choices)) if ref_choices else 0
             ref = z["frames"][ref_idx].astype(np.float32) / 255.0
+            if self.explicit_full_mask:
+                if "full_mask" not in z:
+                    raise ValueError(
+                        f"explicit_full_mask needs a 'full_mask' field: "
+                        f"{self.records[i]}"
+                    )
+                full = z["full_mask"][sl].astype(np.float32) / 255.0
 
-        full = np.clip(1.0 - face + lips + hands, 0.0, 1.0)
+        if not self.explicit_full_mask:
+            full = np.clip(1.0 - face + lips + hands, 0.0, 1.0)
         masks = [
             (fp, fa, li)
             for fp, fa, li in zip(
@@ -269,6 +318,75 @@ class HumanDanceDataset:
                 "tgt_pose": pose[tgt].astype(np.float32) / 255.0,
                 "clip_image": frames[ref].astype(np.float32) / 255.0,
             }
+
+    def batches(self, batch_size: int, seed: int = 0
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        while True:
+            idx = _epoch_order(rng, len(self.records), batch_size)
+            for s in range(0, len(idx) - batch_size + 1, batch_size):
+                items = [self.sample(int(i), rng) for i in idx[s : s + batch_size]]
+                yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class HumanDanceVideoDataset:
+    """Stage-2 process-2 pretraining items WITHOUT audio/masks (reference
+    src/dataset/dance_video.py:15-141): temporally strided n-frame windows
+    (`sample_rate`), a random reference frame from anywhere in the clip,
+    and ONE shared random-resized-crop applied identically to the target
+    and pose streams (the reference replays the torch RNG state across the
+    two transforms; here one sampled crop box is reused).
+
+    Reads the same packed .npz records as TalkingVideoDataset.
+    """
+
+    def __init__(self, meta_paths: Sequence[str], n_sample_frames: int = 24,
+                 sample_rate: int = 4, width: int = 512, height: int = 512,
+                 img_scale=(1.0, 1.0), img_ratio=(0.9, 1.0)):
+        self.records: List[Path] = []
+        for mp in meta_paths:
+            meta = json.loads(Path(mp).read_text())
+            for entry in meta:
+                p = Path(entry["record"] if isinstance(entry, dict) else entry)
+                if p.exists():
+                    self.records.append(p)
+        if not self.records:
+            raise FileNotFoundError(f"no records from {meta_paths}")
+        self.n_frames = n_sample_frames
+        self.rate = sample_rate
+        self.out_hw = (height, width)
+        self.img_scale = tuple(img_scale)
+        self.img_ratio = tuple(img_ratio)
+
+    def __len__(self):
+        return len(self.records)
+
+    def sample(self, i: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        with np.load(self.records[i]) as z:
+            total = z["frames"].shape[0]
+            # strided window: linspace over min(total, (f-1)*rate+1) frames
+            # (dance_video.py:93-99)
+            clip_len = min(total, (self.n_frames - 1) * self.rate + 1)
+            start = int(rng.integers(0, total - clip_len + 1))
+            idx = np.linspace(start, start + clip_len - 1, self.n_frames)
+            idx = idx.astype(np.int64)
+            frames = z["frames"][idx].astype(np.float32) / 255.0
+            pose = z["pose"][idx].astype(np.float32) / 255.0
+            ref_idx = int(rng.integers(0, total))  # anywhere (line 110)
+            ref = z["frames"][ref_idx].astype(np.float32) / 255.0
+
+        h, w = frames.shape[1], frames.shape[2]
+        box = _sample_crop_box(rng, h, w, self.img_scale, self.img_ratio)
+        oh, ow = self.out_hw
+        frames = _crop_resize(frames, box, oh, ow)
+        pose = _crop_resize(pose, box, oh, ow)
+        ref_c = _crop_resize(ref[None], box, oh, ow)[0]
+        return {
+            "pixel_values": frames * 2.0 - 1.0,
+            "pose_video": np.clip(pose, 0.0, 1.0),
+            "ref_image": ref_c * 2.0 - 1.0,
+            "clip_image": ref,  # CLIP sees the un-cropped reference (line 122)
+        }
 
     def batches(self, batch_size: int, seed: int = 0
                 ) -> Iterator[Dict[str, np.ndarray]]:

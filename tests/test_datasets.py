@@ -145,3 +145,67 @@ def test_batches_smaller_dataset_than_batch(tmp_path):
     ds = HumanDanceDataset([str(meta)])
     batch = next(ds.batches(batch_size=4, seed=0))
     assert batch["tgt_image"].shape[0] == 4
+
+
+def test_talking_video_variants(tmp_path):
+    """The _no_audio and _pats reference variants as options
+    (talk_video.py:482,931): zeroed audio window / stored full mask."""
+    rng = np.random.default_rng(5)
+    t, hw, h8 = 30, 64, 8
+    rec = tmp_path / "r.npz"
+    np.savez(
+        rec,
+        frames=rng.integers(0, 255, (t, hw, hw, 3), dtype=np.uint8),
+        pose=rng.integers(0, 255, (t, hw, hw, 3), dtype=np.uint8),
+        face_mask=rng.integers(0, 255, (t, h8, h8), dtype=np.uint8),
+        lips_mask=rng.integers(0, 255, (t, h8, h8), dtype=np.uint8),
+        full_mask=rng.integers(0, 255, (t, h8, h8), dtype=np.uint8),
+        audio_emb=rng.random((t, 12, 768)).astype(np.float16),
+    )
+    meta = tmp_path / "m.json"
+    meta.write_text(json.dumps([str(rec)]))
+
+    no_audio = TalkingVideoDataset([str(meta)], n_sample_frames=8,
+                                   with_audio=False)
+    item = no_audio.sample(0, np.random.default_rng(0))
+    assert item["audio_embeds"].shape == (8, 5, 12, 768)
+    assert not item["audio_embeds"].any()
+
+    pats = TalkingVideoDataset([str(meta)], n_sample_frames=8,
+                               explicit_full_mask=True)
+    item_p = pats.sample(0, np.random.default_rng(0))
+    base = TalkingVideoDataset([str(meta)], n_sample_frames=8)
+    item_b = base.sample(0, np.random.default_rng(0))
+    # same window draw, different full-mask source
+    np.testing.assert_allclose(item_p["masks"][0][1], item_b["masks"][0][1])
+    assert np.abs(item_p["masks"][0][0] - item_b["masks"][0][0]).max() > 1e-3
+
+
+def test_human_dance_video_dataset(tmp_path):
+    """Strided windows + shared crop between target and pose streams
+    (reference dance_video.py:15-141)."""
+    from mmgt_tpu.data.datasets import HumanDanceVideoDataset
+
+    rng = np.random.default_rng(6)
+    t, hw = 60, 64
+    # pose == frames so the shared-crop property is directly checkable
+    frames = rng.integers(0, 255, (t, hw, hw, 3)).astype(np.uint8)
+    rec = tmp_path / "r.npz"
+    np.savez(rec, frames=frames, pose=frames)
+    meta = tmp_path / "m.json"
+    meta.write_text(json.dumps([str(rec)]))
+
+    ds = HumanDanceVideoDataset([str(meta)], n_sample_frames=6, sample_rate=4,
+                                width=32, height=32, img_scale=(0.8, 1.0))
+    item = ds.sample(0, np.random.default_rng(3))
+    assert item["pixel_values"].shape == (6, 32, 32, 3)
+    assert item["pose_video"].shape == (6, 32, 32, 3)
+    assert item["ref_image"].shape == (32, 32, 3)
+    assert item["clip_image"].shape == (hw, hw, 3)  # un-cropped reference
+    # identical geometric augmentation on both streams
+    np.testing.assert_allclose(
+        item["pixel_values"], item["pose_video"] * 2.0 - 1.0, atol=1e-6
+    )
+    batch = next(ds.batches(2, seed=0))
+    assert batch["pixel_values"].shape == (2, 6, 32, 32, 3)
+    assert batch["pixel_values"].min() >= -1.0 - 1e-6
