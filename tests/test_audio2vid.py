@@ -11,6 +11,7 @@ from mmgt_tpu.models.unet_ref import ReferenceUNet2D
 from mmgt_tpu.models.vae import AutoencoderKL
 from mmgt_tpu.pipelines.audio2vid import (
     Audio2VideoPipeline,
+    candidate_scores,
     find_best_slice,
     smooth_seams,
 )
@@ -26,6 +27,105 @@ def test_find_best_slice_prefers_continuity():
     good[:5, 0] = prev[-5:, 0]  # starts where prev ended
     bad = good + 5.0
     assert find_best_slice([bad, good], prev) is good
+
+
+def test_candidate_scores_matches_find_best_slice():
+    """The on-device selection (candidate_scores argmin, used inside the
+    single-launch stage-1 scan) must agree with the host find_best_slice
+    on random candidate sets."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        prev = rng.normal(0, 0.3, (80, 402)).astype(np.float32)
+        cands = [
+            rng.normal(0, 0.3, (80, 402)).astype(np.float32) for _ in range(4)
+        ]
+        want = find_best_slice(cands, prev)
+        scores = np.asarray(
+            candidate_scores(jnp.asarray(np.stack(cands)), jnp.asarray(prev[-6:]))
+        )
+        got = cands[int(np.argmin(scores))]
+        assert got is want, (trial, scores)
+
+
+def _tiny_smga(rng):
+    from mmgt_tpu.models.smga import GestureDecoder
+
+    smga = SMGA(feature_type="baseline")
+    smga.model = GestureDecoder(
+        seq_len=80, latent_dim=64, ff_size=64, num_layers=1, num_heads=4,
+        cond_feature_dim=smga.cond_dim,
+    )
+    return smga, smga.init_state(rng, batch_size=1)
+
+
+def test_smga_sample_chained_matches_per_slice_loop(tmp_path):
+    """One-launch scan over slices (n_cand=1) must reproduce the per-slice
+    dispatch loop exactly: same key chain -> same noise draws -> same
+    chained last-frame conditioning."""
+    from mmgt_tpu.data.audio import slice_audio, stage1_condition
+
+    rng = jax.random.PRNGKey(1)
+    smga, state = _tiny_smga(rng)
+    cfg = InferenceConfig(a2p_sampling_steps=3)
+    pipe = Audio2VideoPipeline(
+        smga=smga, smga_params=state.ema_params,
+        pose2vid=None, pose2vid_params=None, config=cfg,
+    )
+    wav = (0.1 * np.sin(np.linspace(0, 4000, 8 * 16000))).astype(np.float32)
+    slices = slice_audio(wav)
+    assert len(slices) == 3  # bucket pads to 4: padding must not leak
+    conds = np.stack(
+        [stage1_condition(sl, None, "baseline") for sl in slices]
+    )
+    init_cf = jnp.asarray(
+        np.random.default_rng(2).normal(0, 0.2, (402,)), jnp.float32
+    )
+
+    r = jax.random.PRNGKey(7)
+    keys = []
+    for _ in range(4):
+        r, k = jax.random.split(r)
+        keys.append(k)
+
+    chained = np.asarray(
+        pipe._smga_sample_chained(
+            state.ema_params, jnp.stack(keys), init_cf,
+            jnp.asarray(np.concatenate([conds, np.zeros_like(conds[:1])])), 1
+        )
+    )[:3]
+
+    last = init_cf.reshape(1, -1)
+    loop = []
+    for i in range(3):
+        out = np.asarray(
+            pipe._smga_sample(
+                state.ema_params, keys[i], last, jnp.asarray(conds[i])[None]
+            )
+        )[0]
+        loop.append(out)
+        last = jnp.asarray(out[-1]).reshape(1, -1)
+    np.testing.assert_allclose(chained, np.stack(loop), atol=2e-5, rtol=1e-4)
+
+
+def test_generate_pose_with_selection_single_launch():
+    """Selection path: candidates sampled and selected on device, full
+    pose sequence comes back in one piece with the portrait prepended."""
+    rng = jax.random.PRNGKey(3)
+    smga, state = _tiny_smga(rng)
+    cfg = InferenceConfig(
+        a2p_sampling_steps=2, use_motion_selection=True, motion_candidates=3
+    )
+    pipe = Audio2VideoPipeline(
+        smga=smga, smga_params=state.ema_params,
+        pose2vid=None, pose2vid_params=None, config=cfg,
+    )
+    wav = (0.1 * np.sin(np.linspace(0, 2000, 4 * 16000))).astype(np.float32)
+    init_kp = np.zeros((402,), np.float32)
+    init_kp.reshape(134, 3)[:, :2] = 256.0
+    init_kp.reshape(134, 3)[:, 2] = 1.0
+    seq = pipe.generate_pose(rng, wav, init_kp)
+    assert seq.shape == (2 * 80, 402)  # 2 slices, portrait prepended
+    assert np.isfinite(seq).all()
 
 
 def test_smooth_seams_reduces_jump():
