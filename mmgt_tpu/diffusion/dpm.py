@@ -4,9 +4,11 @@ A second-order multistep solver for the probability-flow ODE in the
 data-prediction (x0) formulation (Lu et al., "DPM-Solver++", 2022). The
 reference samples Stage 2 with plain DDIM at 25-30 steps
 (reference src/pipelines/pipeline_pose2vid_long.py:633-635,
-config/prompts/animation.yaml:28-29,78-89); this solver reaches comparable
-trajectory accuracy in ~half the steps (measured in tools/fewstep_quality.py
-— see PERF.md), which is the main lever on the <10 s serving target.
+config/prompts/animation.yaml:28-29,78-89); this solver reaches DDIM-25's
+trajectory accuracy in ~half the steps — measured on the real full-width
+architecture vs a 200-step DDIM reference (tools/fewstep_quality.py,
+PERF_FEWSTEP.json): rel latent err DPM-15 0.039 / DPM-12 0.055 vs DDIM-25
+0.057 — the main lever on the <10 s serving target.
 
 Design mirrors `mmgt_tpu.diffusion.ddim`: every per-step coefficient is
 precomputed on host into (S,) gather tables so `step` runs inside `lax.scan`

@@ -42,31 +42,14 @@ REF_STEPS = int(os.environ.get("FSQ_REF_STEPS", "200"))
 
 def random_params(pipe, seed: int = 0):
     """Deterministic non-degenerate random weights from shapes only — no
-    init-program compile (norm scales 1, biases 0, kernels N(0, 0.02); the
-    trajectories need a non-linear model, not a trained one)."""
-    shapes = jax.eval_shape(lambda: pipe.init_params(jax.random.PRNGKey(0), 64, 64))
-    flat = jax.tree_util.tree_flatten_with_path(shapes)
-    leaves, treedef = flat[0], flat[1]
+    init-program compile (the trajectories need a non-linear model, not a
+    trained one)."""
+    from mmgt_tpu.utils.testing import fill_params
 
-    @jax.jit
-    def fill(key):
-        out = []
-        for i, (path, s) in enumerate(leaves):
-            name = str(path[-1])
-            if "scale" in name:
-                out.append(jnp.ones(s.shape, s.dtype))
-            elif "bias" in name:
-                out.append(jnp.zeros(s.shape, s.dtype))
-            else:
-                out.append(
-                    0.02
-                    * jax.random.normal(
-                        jax.random.fold_in(key, i), s.shape, jnp.float32
-                    ).astype(s.dtype)
-                )
-        return jax.tree_util.tree_unflatten(treedef, out)
-
-    return fill(jax.random.PRNGKey(seed))
+    return fill_params(
+        jax.eval_shape(lambda: pipe.init_params(jax.random.PRNGKey(0), 64, 64)),
+        seed=seed,
+    )
 
 
 def build(scheduler):
@@ -129,42 +112,65 @@ def main():
         jnp.asarray(r_in.normal(0, 0.5, (1, FRAMES, 5, 12, 768)), dt),
     )
 
-    ddim_pipe = build(DDIMScheduler())
-    dpm_pipe = build(DPMSolverPlusPlus2M())
-    # identical param values for both pipelines (same shapes/tree)
-    params = random_params(ddim_pipe)
+    # ONE pipeline object, scheduler swapped per config: _prepare/_decode
+    # programs compile once and only the denoise chunks retrace (a second
+    # pipeline instance duplicated every program and ran the 16 GB chip
+    # out of memory after the 200-step ground truth)
+    pipe = build(DDIMScheduler())
+    dpm = DPMSolverPlusPlus2M()
+    params = random_params(pipe)
 
-    def decode(pipe, lat):
-        return np.asarray(pipe._decode(params, lat)[None][0], np.float32)
+    def decode(lat):
+        return np.asarray(pipe._decode(params, lat), np.float32)
 
-    t0 = time.time()
-    gt_lat = run_latents(ddim_pipe, params, REF_STEPS, inputs)
-    gt_lat_np = np.asarray(gt_lat, np.float32)
+    cache = os.environ.get("FSQ_GT_CACHE", "/tmp/fsq_gt.npz")
+    ck = f"{SIZE}_{FRAMES}_{REF_STEPS}"
+    if cache and os.path.exists(cache) and np.load(cache)["key"] == ck:
+        z = np.load(cache)
+        gt_lat_np, gt_frames = z["lat"], z["frames"]
+        print(f"# ground truth from {cache}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        gt_lat_np = np.asarray(
+            run_latents(pipe, params, REF_STEPS, inputs), np.float32
+        )
+        gt_frames = decode(jnp.asarray(gt_lat_np))
+        print(f"# ground truth DDIM-{REF_STEPS}: {time.time()-t0:.0f}s",
+              file=sys.stderr)
+        if cache:
+            np.savez(cache, key=ck, lat=gt_lat_np, frames=gt_frames)
     gt_norm = float(np.linalg.norm(gt_lat_np))
-    gt_frames = decode(ddim_pipe, gt_lat)
-    print(f"# ground truth DDIM-{REF_STEPS}: {time.time()-t0:.0f}s "
-          f"|x|={gt_norm:.1f}", file=sys.stderr)
-
-    from mmgt_tpu.models.clip_vision import CLIPVisionModel
-
-    clip_model = CLIPVisionModel(dtype=dt)
-    clip_params = jax.jit(clip_model.init)(
-        jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3), dt)
-    )
+    print(f"# |x_gt|={gt_norm:.1f}", file=sys.stderr)
 
     configs = [
-        ("ddim", ddim_pipe, 25),
-        ("ddim", ddim_pipe, 15),
-        ("dpm++2m", dpm_pipe, 25),
-        ("dpm++2m", dpm_pipe, 15),
-        ("dpm++2m", dpm_pipe, 12),
+        ("ddim", None, 25),
+        ("ddim", None, 15),
+        ("dpm++2m", dpm, 25),
+        ("dpm++2m", dpm, 15),
+        ("dpm++2m", dpm, 12),
     ]
+    ddim_sched = pipe.scheduler
+    # per-config cache: every candidate survives a relay fault (the shared
+    # remote chip intermittently reports only ~8 GiB free; reruns resume)
+    cdir = os.environ.get("FSQ_CAND_CACHE", "/tmp/fsq_cand")
+    os.makedirs(cdir, exist_ok=True)
     rows = []
-    for name, pipe, steps in configs:
-        t0 = time.time()
-        lat = run_latents(pipe, params, steps, inputs)
-        lat_np = np.asarray(lat, np.float32)
-        frames = decode(pipe, lat)
+    for name, sched, steps in configs:
+        cpath = os.path.join(cdir, f"{name}_{steps}_{ck}.npz")
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            lat_np, frames, wall = z["lat"], z["frames"], float(z["wall"])
+            print(f"# {name}-{steps} from {cpath}", file=sys.stderr)
+        else:
+            pipe.scheduler = sched if sched is not None else ddim_sched
+            t0 = time.time()
+            lat = run_latents(pipe, params, steps, inputs)
+            lat_np = np.asarray(lat, np.float32)
+            frames = decode(lat)
+            del lat
+            wall = time.time() - t0
+            np.savez(cpath, lat=lat_np, frames=frames, wall=wall)
+            print(f"# {name}-{steps} ran in {wall:.0f}s", file=sys.stderr)
         row = {
             "sampler": name,
             "steps": steps,
@@ -175,10 +181,9 @@ def main():
             "ssim_vs_gt": round(M.ssim(frames, gt_frames), 4),
             "flicker": round(M.temporal_flicker(frames[0]), 5),
             "clip_drift_vs_gt": round(
-                M.clip_identity_drift(frames[0], gt_frames[0], clip_model,
-                                      clip_params), 5
+                _clip_drift_cpu(frames[0], gt_frames[0]), 5
             ),
-            "wall_s": round(time.time() - t0, 1),
+            "wall_s": round(wall, 1),
         }
         rows.append(row)
         print(json.dumps(row))
@@ -188,6 +193,10 @@ def main():
             "size": SIZE, "frames": FRAMES, "ref": f"ddim-{REF_STEPS}",
             "gt_flicker": round(M.temporal_flicker(gt_frames[0]), 5),
             "weights": "random_params(seed=0)", "guidance": 3.5,
+            "clip_drift_note": "CLIP tower with deterministic random init "
+            "(no weights in image): a fixed nonlinear feature map — valid "
+            "for config-to-config comparison, not an absolute identity "
+            "metric",
         },
         "rows": rows,
     }
@@ -195,6 +204,27 @@ def main():
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result["protocol"]))
+
+
+def _clip_drift_cpu(frames_a, frames_b):
+    """CLIP identity drift on CPU devices (keeps the 2.4 GB-of-params CLIP
+    tower off the memory-constrained TPU; ViT over 2x16 224^2 frames is
+    seconds of CPU work)."""
+    import jax
+
+    from mmgt_tpu.models.clip_vision import CLIPVisionModel
+    from mmgt_tpu.utils import metrics as M
+
+    cpu = jax.devices("cpu")[0]
+    model = CLIPVisionModel(dtype=jnp.float32)
+    with jax.default_device(cpu):
+        # real (variance-scaled) flax init: a flat N(0, 0.02) fill collapses
+        # the 24-layer ViT's embeddings to near-constants (measured drift
+        # ~1e-5 for every config) and carries no signal
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3), jnp.float32)
+        )
+        return M.clip_identity_drift(frames_a, frames_b, model, params)
 
 
 if __name__ == "__main__":
