@@ -60,27 +60,12 @@ def zeros_params(tree_fn):
     BENCH_PARAMS=random fills kernels with N(0, 0.02) (norm scales 1,
     biases 0) so the flagship numerics are exercised at full scale and the
     finite-frames assertion is meaningful (VERDICT r3 weak #5)."""
-    shapes = jax.eval_shape(tree_fn)
-    if PARAMS != "random":
-        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    from mmgt_tpu.utils.testing import fill_params
 
-    @jax.jit
-    def fill(key):
-        out = []
-        for i, (path, s) in enumerate(leaves):
-            name = str(path[-1])
-            if "scale" in name:
-                out.append(jnp.ones(s.shape, s.dtype))
-            elif "bias" in name:
-                out.append(jnp.zeros(s.shape, s.dtype))
-            else:
-                out.append(0.02 * jax.random.normal(
-                    jax.random.fold_in(key, i), s.shape, jnp.float32
-                ).astype(s.dtype))
-        return jax.tree_util.tree_unflatten(treedef, out)
-
-    return fill(jax.random.PRNGKey(0))
+    return fill_params(
+        jax.eval_shape(tree_fn),
+        mode="random" if PARAMS == "random" else "zeros",
+    )
 
 
 def useful_flops():
@@ -270,8 +255,10 @@ def bench_audio2vid(fixture: bool = False):
 
         if WITH_DPM:
             # The quality-evidenced <10 s configuration: DPM-Solver++(2M)
-            # at 15 steps tracks the 200-step trajectory ~5x closer than
-            # DDIM-25 (tools/fewstep_quality.py, PERF.md). Swapping the
+            # at 15 steps tracks the 200-step trajectory 1.5x closer than
+            # DDIM-25 (rel latent err 0.039 vs 0.057; even DPM-12 matches
+            # DDIM-25 — PERF_FEWSTEP.json, measured on the real full-width
+            # architecture). Swapping the
             # scheduler on the same pipeline retraces only the denoise
             # chunks (DPMState tables + x0 carry); prepare/decode programs
             # are reused.

@@ -145,3 +145,34 @@ def test_unet3d_remat_matches():
     assert np.isfinite(
         float(jnp.sum(jnp.abs(jax.tree.leaves(g)[0])))
     )
+
+
+def test_fill_params_modes():
+    """Shape-only param materialization (utils.testing.fill_params): right
+    shapes/dtypes, scales 1 / biases 0 / kernels non-degenerate, and
+    deterministic in the seed."""
+    import flax.linen as fnn
+
+    from mmgt_tpu.utils.testing import fill_params
+
+    mod = fnn.Sequential([fnn.Dense(8), fnn.LayerNorm(), fnn.Dense(4)])
+    shapes = jax.eval_shape(
+        lambda: mod.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
+    )
+    z = fill_params(shapes, mode="zeros")
+    assert all(not np.asarray(x).any() for x in jax.tree.leaves(z))
+    r1 = fill_params(shapes, seed=1)
+    r2 = fill_params(shapes, seed=1)
+    flat = {
+        "/".join(str(k.key) for k in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(r1)[0]
+    }
+    for name, v in flat.items():
+        if name.endswith("scale"):
+            assert (v == 1.0).all(), name
+        elif name.endswith("bias"):
+            assert (v == 0.0).all(), name
+        else:
+            assert v.std() > 0.001, name
+    for a, b in zip(jax.tree.leaves(r1), jax.tree.leaves(r2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
