@@ -120,6 +120,12 @@ class Audio2VideoPipeline:
     audio_processor: Optional[AudioProcessor] = None
     wavlm_extractor: Optional[WavLMFeatureExtractor] = None
     config: InferenceConfig = dataclasses.field(default_factory=InferenceConfig)
+    # frames per rasterizer launch: conditioning is strictly per-frame, so
+    # long clips run the ONE slice-sized compiled program repeatedly
+    # instead of compiling a clip-length program (a 240-frame rasterizer
+    # HLO reproducibly crashes the remote compile helper; 80 f compiles
+    # once and covers every clip length)
+    raster_chunk: int = HORIZON
 
     def __post_init__(self):
         self._smga_sample = jax.jit(
@@ -240,6 +246,37 @@ class Audio2VideoPipeline:
         seq = smooth_seams(seq, seam_spacing=HORIZON)
         return np.asarray(denormalize_keypoints(jnp.asarray(seq)))
 
+    def _prepare_cond_chunked(self, keypoints: jnp.ndarray):
+        """keypoints (T, 402) -> conditioning, in raster_chunk-frame
+        launches of one shared compiled program (exact: the rasterizer and
+        mask blurs are per-frame; the final chunk pads by repeating the
+        last frame and the pad is trimmed)."""
+        T, k = keypoints.shape[0], self.raster_chunk
+        if T <= k:
+            return self._prepare_cond(keypoints)
+        pad = (-T) % k
+        kp = (
+            jnp.concatenate([keypoints, jnp.repeat(keypoints[-1:], pad, 0)])
+            if pad
+            else keypoints
+        )
+        chunks = [self._prepare_cond(kp[o : o + k]) for o in range(0, T + pad, k)]
+        cat = lambda xs, ax: jnp.concatenate(xs, axis=ax)
+        return {
+            "pose_video": cat([c["pose_video"] for c in chunks], 1)[:, :T],
+            "masks": [
+                tuple(
+                    cat([c["masks"][l][j] for c in chunks], 1)[:, :T]
+                    for j in range(3)
+                )
+                for l in range(len(chunks[0]["masks"]))
+            ],
+            "mask_videos": {
+                name: cat([c["mask_videos"][name] for c in chunks], 0)[:T]
+                for name in chunks[0]["mask_videos"]
+            },
+        }
+
     # -------------------------------------------------------- full path
     def __call__(
         self,
@@ -268,7 +305,7 @@ class Audio2VideoPipeline:
         keypoints = keypoints[:L]
 
         t0 = _time.time()
-        cond = self._prepare_cond(jnp.asarray(keypoints))
+        cond = self._prepare_cond_chunked(jnp.asarray(keypoints))
         _sync(cond["pose_video"])
         self.timings["conditioning_s"] = _time.time() - t0
 

@@ -212,3 +212,39 @@ def test_audio2vid_end_to_end_tiny(tmp_path):
     assert out["frames"].shape == (6, 64, 64, 3)
     assert np.isfinite(out["frames"]).all()
     assert out["keypoints"].shape[1] == 402
+
+
+def test_prepare_cond_chunked_matches_single_launch():
+    """Chunked rasterization (one slice-sized program re-launched) must be
+    exactly the single-launch conditioning — per-frame ops, incl. a
+    non-multiple tail handled by last-frame padding."""
+    rng = jax.random.PRNGKey(5)
+    smga, state = _tiny_smga(rng)
+    pipe = Audio2VideoPipeline(
+        smga=smga, smga_params=state.ema_params,
+        pose2vid=None, pose2vid_params=None,
+        config=InferenceConfig(width=64, height=64),
+        raster_chunk=4,
+    )
+    kp = np.zeros((10, 402), np.float32)
+    kp.reshape(10, 134, 3)[..., 0] = np.linspace(10, 50, 10)[:, None]
+    kp.reshape(10, 134, 3)[..., 1] = 32.0
+    kp.reshape(10, 134, 3)[..., 2] = 1.0
+    kp = jnp.asarray(kp)
+    want = pipe._prepare_cond(kp)
+    got = pipe._prepare_cond_chunked(kp)
+    np.testing.assert_allclose(
+        np.asarray(got["pose_video"]), np.asarray(want["pose_video"]),
+        atol=1e-6,
+    )
+    for l in range(3):
+        for j in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got["masks"][l][j]),
+                np.asarray(want["masks"][l][j]), atol=1e-6,
+            )
+    for name in want["mask_videos"]:
+        np.testing.assert_allclose(
+            np.asarray(got["mask_videos"][name]),
+            np.asarray(want["mask_videos"][name]), atol=1e-6,
+        )
