@@ -22,8 +22,9 @@ BENCH_MICROBATCH (5), BENCH_REPEATS (1; >1 reports the median),
 BENCH_MODE (audio2vid|pose2vid|fixture|long|train_stage2),
 BENCH_PARAMS (zeros|random — random asserts finite frames),
 BENCH_WEIGHTS (dir — run verify_weights then the real-weight flagship),
-BENCH_DPM (1 — adds the audio2vid_dpm15_s row, the quality-evidenced
-<10 s configuration; see PERF.md / tools/fewstep_quality.py).
+BENCH_DPM (1 — adds the audio2vid_dpm{N}_s row, the quality-evidenced
+<10 s configuration; see PERF.md / tools/fewstep_quality.py),
+BENCH_DPM_STEPS (15; 12 = the measured "matches DDIM-25" point).
 """
 import json
 import os
@@ -45,6 +46,9 @@ MODE = os.environ.get("BENCH_MODE", "audio2vid")
 PARAMS = os.environ.get("BENCH_PARAMS", "zeros")
 WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
 WITH_DPM = os.environ.get("BENCH_DPM", "1") == "1"
+# 15 reuses the fast15 row's compiled 5-step chunks; 12 is the measured
+# "matches DDIM-25" point (PERF_FEWSTEP.json) but compiles a 6-step chunk
+DPM_STEPS = int(os.environ.get("BENCH_DPM_STEPS", "15"))
 if MODE == "long":
     # long-clip stress: 3 audio slices -> 240 frames, slice chaining +
     # candidate selection + seam splines + 30 fused context windows/step
@@ -237,21 +241,29 @@ def bench_audio2vid(fixture: bool = False):
         comp["repeat_samples_s"] = [round(s, 2) for s in samples]
 
     if STEPS == 25 and not fixture and MODE != "long":
-        # Proposed fidelity-relaxed row toward the <10 s north star
-        # (PERF.md): 15 trailing DDIM steps. The step count is *config* in
-        # the reference (animation.yaml:28-29 ships 30); the trailing
-        # zero-SNR schedule subsamples, so fewer steps is a quality knob,
-        # not an algorithm change. Mutating the config on the SAME pipeline
-        # instance reuses every compiled program (identical 5-step chunk
-        # shapes) — no extra compile.
+        # Secondary rows must never lose the already-measured flagship row:
+        # each is wrapped so a failure records an error string instead of
+        # propagating (the relay occasionally faults under prolonged load).
         import dataclasses as _dc
 
-        a2v.config = _dc.replace(a2v.config, num_inference_steps=15)
-        t0 = time.time()
-        a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
-            video_length=FRAMES)
-        comp["audio2vid_fast15_s"] = time.time() - t0
-        a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
+        try:
+            # Proposed fidelity-relaxed row toward the <10 s north star
+            # (PERF.md): 15 trailing DDIM steps. The step count is *config*
+            # in the reference (animation.yaml:28-29 ships 30); the trailing
+            # zero-SNR schedule subsamples, so fewer steps is a quality
+            # knob, not an algorithm change. Mutating the config on the SAME
+            # pipeline instance reuses every compiled program (identical
+            # 5-step chunk shapes) — no extra compile.
+            a2v.config = _dc.replace(a2v.config, num_inference_steps=15)
+            t0 = time.time()
+            a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
+                video_length=FRAMES)
+            comp["audio2vid_fast15_s"] = time.time() - t0
+        except Exception as e:  # pragma: no cover - relay-dependent
+            comp["audio2vid_fast15_s"] = f"failed: {type(e).__name__}"
+            print(f"# fast15 row failed: {e}", file=sys.stderr)
+        finally:
+            a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
 
         if WITH_DPM:
             # The quality-evidenced <10 s configuration: DPM-Solver++(2M)
@@ -265,19 +277,59 @@ def bench_audio2vid(fixture: bool = False):
             from mmgt_tpu.diffusion.dpm import DPMSolverPlusPlus2M
 
             old = pipe.scheduler
-            pipe.scheduler = DPMSolverPlusPlus2M()
-            a2v.config = _dc.replace(a2v.config, num_inference_steps=15)
-            t0 = time.time()
-            a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
-                video_length=FRAMES)
-            comp["audio2vid_dpm15_compile_s"] = round(time.time() - t0, 2)
-            t0 = time.time()
-            a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
-                video_length=FRAMES)
-            comp["audio2vid_dpm15_s"] = time.time() - t0
-            pipe.scheduler = old
-            a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
+            row = f"audio2vid_dpm{DPM_STEPS}_s"
+            try:
+                pipe.scheduler = DPMSolverPlusPlus2M()
+                a2v.config = _dc.replace(
+                    a2v.config, num_inference_steps=DPM_STEPS)
+                t0 = time.time()
+                a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
+                    video_length=FRAMES)
+                comp[row + "_compile"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
+                    video_length=FRAMES)
+                comp[row] = time.time() - t0
+            except Exception as e:  # pragma: no cover - relay-dependent
+                comp[row] = f"failed: {type(e).__name__}"
+                print(f"# {row} failed: {e}", file=sys.stderr)
+            finally:
+                pipe.scheduler = old
+                a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
     return best, comp, compile_s
+
+
+def _looks_like_oom(msg: str) -> bool:
+    needles = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM",
+               "device error", "Allocator", "INTERNAL")
+    return any(n in msg for n in needles)
+
+
+def _audio2vid_with_oom_fallback():
+    """Run the flagship; on an OOM/device fault retry at a smaller window
+    microbatch so the driver bench always records a number.
+
+    The shared relay chip's usable HBM has been observed degraded to
+    ~7.75 GiB (of 16) by earlier OOM-crashed processes (PERF.md round-4
+    note); the default window_microbatch=5 was sized for the full 16 GiB.
+    Non-memory failures re-raise immediately."""
+    global MICROBATCH
+    tried = [MICROBATCH] + [m for m in (3, 2, 1) if m < MICROBATCH]
+    for i, mb in enumerate(tried):
+        MICROBATCH = mb
+        try:
+            best, comp, compile_s = bench_audio2vid(fixture=(MODE == "fixture"))
+            if i:
+                comp["microbatch_fallback"] = mb
+            return best, comp, compile_s
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            print(f"# microbatch={mb} failed: {msg[:600]}", file=sys.stderr)
+            if i == len(tried) - 1 or not _looks_like_oom(msg):
+                raise
+            import gc
+
+            gc.collect()  # free the failed attempt's device buffers first
 
 
 def bench_train_stage2():
@@ -344,7 +396,7 @@ def main():
         metric = f"pose2vid_e2e_{FRAMES}f_{SIZE}px_{STEPS}steps_1chip"
         mfu = {"stage2": round(useful_flops()["stage2"] / best / V5E_PEAK, 4)}
     else:
-        best, comp, compile_s = bench_audio2vid(fixture=(MODE == "fixture"))
+        best, comp, compile_s = _audio2vid_with_oom_fallback()
         metric = f"audio2vid_e2e_{FRAMES}f_{SIZE}px_{STEPS}steps_1chip"
         if MODE == "fixture":
             metric += "_fixture"
