@@ -84,6 +84,41 @@ def test_train_step_updates_only_trainable():
     assert f_delta == 0.0
 
 
+def test_fill_params_fast():
+    """fill_params must never compile — MULTICHIP_r04 rc=124 regression.
+
+    The r4 implementation jitted one fold_in+normal subgraph per leaf in a
+    single program; XLA CPU compile is superlinear in leaf count and timed
+    out the driver gate. Guard: a >=1000-leaf tree materializes in <10 s.
+    """
+    import time
+
+    from mmgt_tpu.utils.testing import fill_params
+
+    shapes = {
+        f"m{i}": {
+            "kernel": jax.ShapeDtypeStruct((8, 8), jnp.float32),
+            "bias": jax.ShapeDtypeStruct((8,), jnp.float32),
+            "norm_scale": jax.ShapeDtypeStruct((8,), jnp.bfloat16),
+        }
+        for i in range(400)
+    }
+    t0 = time.monotonic()
+    params = fill_params(shapes, seed=0, mode="random")
+    dt = time.monotonic() - t0
+    assert dt < 10.0, f"fill_params took {dt:.1f}s on a 1200-leaf tree"
+    assert float(jnp.abs(params["m0"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(params["m0"]["bias"]).sum()) == 0
+    np.testing.assert_array_equal(
+        np.asarray(params["m1"]["norm_scale"], np.float32), 1.0
+    )
+    # deterministic across calls
+    again = fill_params(shapes, seed=0, mode="random")
+    np.testing.assert_array_equal(
+        np.asarray(params["m3"]["kernel"]), np.asarray(again["m3"]["kernel"])
+    )
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_8dev():
     import __graft_entry__
