@@ -24,7 +24,9 @@ BENCH_PARAMS (zeros|random — random asserts finite frames),
 BENCH_WEIGHTS (dir — run verify_weights then the real-weight flagship),
 BENCH_DPM (1 — adds the audio2vid_dpm{N}_s row, the quality-evidenced
 <10 s configuration; see PERF.md / tools/fewstep_quality.py),
-BENCH_DPM_STEPS (15; 12 = the measured "matches DDIM-25" point).
+BENCH_DPM_STEPS (15; 12 = the measured "matches DDIM-25" point),
+BENCH_LONG (1 — adds the audio2vid_long{3*FRAMES}_s row: slice chaining +
+candidate selection + seam splines, reusing every compiled program).
 """
 import json
 import os
@@ -36,6 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mmgt_tpu.utils.cache import cache_stats, enable_compilation_cache
+
+_CACHE_DIR = enable_compilation_cache()
+_CACHE_BEFORE = cache_stats(_CACHE_DIR) if _CACHE_DIR else None
 
 STEPS = int(os.environ.get("BENCH_STEPS", "25"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "80"))
@@ -270,10 +277,10 @@ def bench_audio2vid(fixture: bool = False):
             # at 15 steps tracks the 200-step trajectory 1.5x closer than
             # DDIM-25 (rel latent err 0.039 vs 0.057; even DPM-12 matches
             # DDIM-25 — PERF_FEWSTEP.json, measured on the real full-width
-            # architecture). Swapping the
-            # scheduler on the same pipeline retraces only the denoise
-            # chunks (DPMState tables + x0 carry); prepare/decode programs
-            # are reused.
+            # architecture). Since r5 the denoise chunk is scheduler-
+            # agnostic (diffusion/solver.py): swapping DDIM -> DPM reuses
+            # the SAME compiled programs, so the *_compile_s row should be
+            # ~0 (it was 184.7 s of pure retrace in r4).
             from mmgt_tpu.diffusion.dpm import DPMSolverPlusPlus2M
 
             old = pipe.scheduler
@@ -285,7 +292,8 @@ def bench_audio2vid(fixture: bool = False):
                 t0 = time.time()
                 a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
                     video_length=FRAMES)
-                comp[row + "_compile"] = round(time.time() - t0, 2)
+                comp[f"audio2vid_dpm{DPM_STEPS}_compile_s"] = round(
+                    time.time() - t0, 2)
                 t0 = time.time()
                 a2v(jax.random.PRNGKey(0), wav_path, ref_img, kp.reshape(-1),
                     video_length=FRAMES)
@@ -296,13 +304,61 @@ def bench_audio2vid(fixture: bool = False):
             finally:
                 pipe.scheduler = old
                 a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
+
+        if os.environ.get("BENCH_LONG", "1") == "1":
+            # Standing long-clip row (VERDICT r4 #7): 240 frames = 3 audio
+            # slices through the reference's full long-video machinery
+            # (slice chaining + candidate selection + seam splines,
+            # scripts/audio2vid.py:300-374). Each slice is the same
+            # 80-frame pipeline shape, so every compiled program is
+            # REUSED — the row costs runtime only.
+            try:
+                import wave as _wave
+
+                long_frames = 3 * FRAMES
+                wav_long = "/tmp/bench_a2v_long.wav"
+                sr = 16000
+                tt = np.arange(int(sr * long_frames / 25.0)) / sr
+                sig = (0.3 * np.sin(2 * np.pi * 220 * tt)
+                       * (1 + 0.5 * np.sin(2 * np.pi * 3 * tt)))
+                with _wave.open(wav_long, "w") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes((sig * 32767).astype(np.int16).tobytes())
+                a2v.config = _dc.replace(
+                    a2v.config, video_length=long_frames,
+                    use_motion_selection=True, motion_candidates=3,
+                )
+                t0 = time.time()
+                a2v(jax.random.PRNGKey(0), wav_long, ref_img, kp.reshape(-1),
+                    video_length=long_frames)
+                comp[f"audio2vid_long{long_frames}_s"] = time.time() - t0
+            except Exception as e:  # pragma: no cover - relay-dependent
+                comp[f"audio2vid_long{3 * FRAMES}_s"] = f"failed: {type(e).__name__}"
+                print(f"# long row failed: {e}", file=sys.stderr)
+            finally:
+                a2v.config = _dc.replace(
+                    a2v.config, video_length=FRAMES,
+                    use_motion_selection=False,
+                )
     return best, comp, compile_s
 
 
-def _looks_like_oom(msg: str) -> bool:
-    needles = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM",
-               "device error", "Allocator", "INTERNAL")
-    return any(n in msg for n in needles)
+def _oom_kind(msg: str) -> str:
+    """"strong": definitely memory (retry the full ladder). "weak": a fault
+    that is *often* memory on this relay but can also be a transient relay/
+    compile error — worth exactly one retry, not three ~5-min recompiles.
+    "device error" stays strong: the >2-min-dispatch fault shrinks with the
+    window microbatch, so smaller microbatch is the right response."""
+    strong = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM",
+              "device error")
+    weak = ("Allocator", "INTERNAL")
+    if any(n in msg for n in strong):
+        return "strong"
+    if any(n in msg for n in weak):
+        return "weak"
+    return "no"
 
 
 def _audio2vid_with_oom_fallback():
@@ -312,10 +368,25 @@ def _audio2vid_with_oom_fallback():
     The shared relay chip's usable HBM has been observed degraded to
     ~7.75 GiB (of 16) by earlier OOM-crashed processes (PERF.md round-4
     note); the default window_microbatch=5 was sized for the full 16 GiB.
-    Non-memory failures re-raise immediately."""
+    Non-memory failures re-raise immediately; ambiguous faults (INTERNAL,
+    which also covers relay HTTP 500s) get a single retry. The ladder
+    descends from the starting microbatch by halving, then 3/2/1."""
     global MICROBATCH
-    tried = [MICROBATCH] + [m for m in (3, 2, 1) if m < MICROBATCH]
+    ladder = sorted({m for m in (MICROBATCH // 2, 3, 2, 1) if 0 < m < MICROBATCH},
+                    reverse=True)
+    tried = [MICROBATCH] + ladder
+    pending_gc = False
     for i, mb in enumerate(tried):
+        if pending_gc:
+            # Deferred from the previous iteration's except block: collecting
+            # there cannot free the failed attempt's device buffers because
+            # the live exception's traceback still pins bench_audio2vid's
+            # frame (and with it pipe/params). Here the except block has
+            # exited and the frame chain is collectable.
+            import gc
+
+            gc.collect()
+            pending_gc = False
         MICROBATCH = mb
         try:
             best, comp, compile_s = bench_audio2vid(fixture=(MODE == "fixture"))
@@ -325,11 +396,11 @@ def _audio2vid_with_oom_fallback():
         except Exception as e:
             msg = f"{type(e).__name__}: {e}"
             print(f"# microbatch={mb} failed: {msg[:600]}", file=sys.stderr)
-            if i == len(tried) - 1 or not _looks_like_oom(msg):
+            kind = _oom_kind(msg)
+            if i == len(tried) - 1 or kind == "no" or (kind == "weak" and i > 0):
                 raise
-            import gc
-
-            gc.collect()  # free the failed attempt's device buffers first
+            e.__traceback__ = None
+            pending_gc = True
 
 
 def bench_train_stage2():
@@ -427,10 +498,19 @@ def main():
             }
         )
     )
+    if _CACHE_DIR:
+        after = cache_stats(_CACHE_DIR)
+        cache_note = (
+            f" xla_cache={_CACHE_DIR} entries={_CACHE_BEFORE['entries']}->"
+            f"{after['entries']} ({after['bytes'] // 2**20} MiB)"
+        )
+    else:
+        cache_note = " xla_cache=disabled"
     print(
         f"# devices={jax.devices()} compile={compile_s:.0f}s steps={STEPS} "
         f"frames={FRAMES} microbatch={MICROBATCH} mode={MODE} params={PARAMS} "
-        f"weights={'present:' + WEIGHTS if WEIGHTS else 'absent (set BENCH_WEIGHTS to run the real-checkpoint flagship)'}",
+        f"weights={'present:' + WEIGHTS if WEIGHTS else 'absent (set BENCH_WEIGHTS to run the real-checkpoint flagship)'}"
+        + cache_note,
         file=sys.stderr,
     )
 

@@ -14,12 +14,43 @@ def bench():
     return b
 
 
-def test_looks_like_oom(bench):
-    assert bench._looks_like_oom("RESOURCE_EXHAUSTED: alloc failed")
-    assert bench._looks_like_oom("XlaRuntimeError: TPU device error")
-    assert bench._looks_like_oom("Allocator ran out of memory")
-    assert not bench._looks_like_oom("ValueError: bad shape (1, 2)")
-    assert not bench._looks_like_oom("KeyError: 'guider_a'")
+def test_oom_kind(bench):
+    assert bench._oom_kind("RESOURCE_EXHAUSTED: alloc failed") == "strong"
+    assert bench._oom_kind("XlaRuntimeError: TPU device error") == "strong"
+    assert bench._oom_kind("Allocator ran out of memory") == "strong"
+    # ambiguous needles (also cover relay HTTP 500s) only earn ONE retry
+    assert bench._oom_kind("Allocator retry failed") == "weak"
+    assert bench._oom_kind("INTERNAL: relay fault") == "weak"
+    assert bench._oom_kind("ValueError: bad shape (1, 2)") == "no"
+    assert bench._oom_kind("KeyError: 'guider_a'") == "no"
+
+
+def test_weak_fault_single_retry(bench, monkeypatch):
+    calls = []
+
+    def fake_bench_audio2vid(fixture=False):
+        calls.append(bench.MICROBATCH)
+        raise RuntimeError("INTERNAL: something relay-ish")
+
+    monkeypatch.setattr(bench, "bench_audio2vid", fake_bench_audio2vid)
+    monkeypatch.setattr(bench, "MICROBATCH", 5)
+    with pytest.raises(RuntimeError):
+        bench._audio2vid_with_oom_fallback()
+    assert calls == [5, 3]  # one retry, not the whole ladder
+
+
+def test_ladder_from_large_start(bench, monkeypatch):
+    calls = []
+
+    def fake_bench_audio2vid(fixture=False):
+        calls.append(bench.MICROBATCH)
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    monkeypatch.setattr(bench, "bench_audio2vid", fake_bench_audio2vid)
+    monkeypatch.setattr(bench, "MICROBATCH", 8)
+    with pytest.raises(RuntimeError):
+        bench._audio2vid_with_oom_fallback()
+    assert calls == [8, 4, 3, 2, 1]  # halving first, no jump straight to 3
 
 
 def test_fallback_retries_oom_at_smaller_microbatch(bench, monkeypatch):
