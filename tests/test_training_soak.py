@@ -132,6 +132,35 @@ def test_stage2_checkpoint_resume_bit_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_np_fallback_keyed_restore(tmp_path):
+    """The numpy fallback stores leaves by key path; restoring into a
+    reordered or mismatched tree must match by name or fail loudly —
+    never silently mis-assign positionally (VERDICT r4 weak #7)."""
+    from mmgt_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "np_ckpt"))
+    mgr._mgr = None  # force the numpy fallback path
+    mgr.max_to_keep = 3
+
+    tree = {"a": {"kernel": np.arange(6.0).reshape(2, 3), "bias": np.ones(3)},
+            "b": {"kernel": np.full((2, 3), 7.0)}}
+    mgr.save(1, tree)
+
+    # dict insertion order differs -> positional layout would swap kernels
+    reordered = {"b": {"kernel": np.zeros((2, 3))},
+                 "a": {"bias": np.zeros(3), "kernel": np.zeros((2, 3))}}
+    out = mgr.restore(reordered)
+    np.testing.assert_array_equal(out["a"]["kernel"], tree["a"]["kernel"])
+    np.testing.assert_array_equal(out["b"]["kernel"], tree["b"]["kernel"])
+    np.testing.assert_array_equal(out["a"]["bias"], tree["a"]["bias"])
+
+    # missing/extra keys fail loudly
+    with pytest.raises(KeyError):
+        mgr.restore({"a": {"kernel": np.zeros((2, 3))}})
+    with pytest.raises(KeyError):
+        mgr.restore({**reordered, "c": {"x": np.zeros(1)}})
+
+
 @pytest.mark.slow
 def test_smga_overfit_single_sample():
     """SMGA (production architecture) overfits one (keypoints, audio)
