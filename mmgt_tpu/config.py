@@ -41,7 +41,13 @@ class InferenceConfig:
     seed: int = 42
     fps: int = 25
     sample_rate: int = 16000
-    motion_scale: Tuple[float, float, float] = (1.0, 1.0, 2.0)  # pose/face/lip
+    # pose/face/lip weights. Reference-faithful default is (1,1,1): the
+    # reference CLI exposes pose/face/lip_weight (animation.yaml:50-52,
+    # lip 2.0) but its EVAL path never forwards motion_scale into the
+    # audio blocks (unet_3d_blocks.py:590-598 — only the training
+    # gradient-checkpoint call passes it), so the published demos run at
+    # an effective (1,1,1). Ours actually honors non-1 values.
+    motion_scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     context_size: int = 12
     context_overlap: int = 4
     window_microbatch: Optional[int] = 5

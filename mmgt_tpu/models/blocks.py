@@ -59,12 +59,24 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
+    """Stride-2 3x3 conv. Padding must be EXPLICIT: torch's UNet
+    downsampler pads 1 symmetrically (reference resnet.py Downsample3D /
+    diffusers Downsample2D(padding=1)), while flax's SAME pad for stride 2
+    on even extents is (0,1) — a half-pixel grid shift that silently breaks
+    checkpoint parity (caught by tests/test_unet_full_torch_parity.py).
+    The diffusers VAE encoder is the odd one out: Downsample2D(padding=0)
+    + manual F.pad (0,1,0,1) — pass pad=((0,1),(0,1)) there."""
+
     dtype: jnp.dtype = jnp.float32
+    pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        return nn.Conv(c, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv")(x)
+        return nn.Conv(
+            c, (3, 3), strides=(2, 2), padding=self.pad,
+            dtype=self.dtype, name="conv",
+        )(x)
 
 
 class _Conv3Params(nn.Module):

@@ -33,8 +33,14 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # mmdet/mmpose ConvModule pads k//2 SYMMETRICALLY; for stride 2 on
+        # even extents flax SAME pads (0,1) instead — explicit padding
+        # keeps the sampling grid torch-exact (same bug class as
+        # blocks.Downsample, tests/test_unet_full_torch_parity.py)
+        p = self.k // 2
         x = nn.Conv(
             self.out, (self.k, self.k), strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
             feature_group_count=self.groups, use_bias=False,
             dtype=self.dtype, name="conv",
         )(x)

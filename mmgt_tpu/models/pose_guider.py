@@ -33,6 +33,9 @@ class PoseGuider(nn.Module):
                     chans[i + 1],
                     (3, 3),
                     strides=(2, 2),
+                    # torch pads 1 symmetrically (reference
+                    # pose_guider.py:32-35); flax SAME would pad (0,1)
+                    padding=((1, 1), (1, 1)),
                     dtype=self.dtype,
                     name=f"block_{i}_down",
                 )(x)

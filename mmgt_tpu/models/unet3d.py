@@ -15,6 +15,11 @@ TPU-native re-design of the reference UNet3DConditionModel
     animation.yaml:58), two temporal self-attns each
   * the audio transformer width quirk (inner dim from block INPUT channels,
     unet_3d_blocks.py:466-470) is reproduced for weight parity.
+  * motion_scale quirk: the reference's EVAL path never forwards
+    motion_scale into its audio blocks (only the training checkpoint call
+    passes it, unet_3d_blocks.py:560-598), so the reference CLI's
+    pose/face/lip weights are inert at inference (effective (1,1,1), which
+    InferenceConfig defaults to). Ours honors the knob in both modes.
 
 Forward signature (all channel-last):
   latents      (B, F, h, w, 4)

@@ -53,7 +53,12 @@ class Encoder(nn.Module):
                     ch, eps=1e-6, dtype=self.dtype, name=f"down_{bi}_res_{li}"
                 )(h)
             if bi < len(chans) - 1:
-                h = Downsample(self.dtype, name=f"down_{bi}_downsample")(h)
+                # diffusers VAE downsampler: padding=0 + F.pad (0,1,0,1) —
+                # right/bottom-only, unlike the UNets' symmetric pad 1
+                h = Downsample(
+                    self.dtype, pad=((0, 1), (0, 1)),
+                    name=f"down_{bi}_downsample",
+                )(h)
         h = ResnetBlock(chans[-1], eps=1e-6, dtype=self.dtype, name="mid_res_0")(h)
         h = VAEAttention(self.dtype, name="mid_attn")(h)
         h = ResnetBlock(chans[-1], eps=1e-6, dtype=self.dtype, name="mid_res_1")(h)

@@ -32,16 +32,31 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         return dict(load_file(path))
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # e.g. the microsoft WavLM release pickles an argparse cfg object
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    # unwrap common wrapper layouts: HF/lightning "state_dict", and the
+    # microsoft WavLM release format {"model": {...}, "cfg": ...}
+    for wrapper in ("state_dict", "model"):
+        if (
+            isinstance(sd, dict)
+            and wrapper in sd
+            and isinstance(sd[wrapper], dict)
+            and not hasattr(sd[wrapper], "numpy")
+        ):
+            sd = sd[wrapper]
     return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
 
 # ------------------------------------------------------------------ layout
-def to_flax_tensor(our_key: str, shape, torch_arr: np.ndarray) -> np.ndarray:
+def to_flax_tensor(our_key: str, shape, torch_arr: np.ndarray,
+                   dtype=None) -> np.ndarray:
     """Torch layout -> flax layout for one tensor, validated against the
-    expected flax shape."""
+    expected flax shape; cast to the target leaf dtype (the reference's
+    published checkpoints are fp16 — animation.yaml `weight_dtype: fp16` —
+    while our param trees are f32/bf16)."""
     a = torch_arr
     leaf = our_key.rsplit("/", 1)[-1]
     if leaf == "kernel":
@@ -60,7 +75,10 @@ def to_flax_tensor(our_key: str, shape, torch_arr: np.ndarray) -> np.ndarray:
     if a.shape != tuple(shape) and a.size == int(np.prod(shape)):
         a = a.reshape(shape)  # e.g. scalar () <-> (1,) params
     assert a.shape == tuple(shape), (our_key, a.shape, tuple(shape))
-    return np.asarray(a)
+    a = np.asarray(a)
+    if dtype is not None and a.dtype != dtype:
+        a = a.astype(dtype)
+    return a
 
 
 # --------------------------------------------------------- name translation
@@ -115,6 +133,11 @@ def map_unet3d(key: str) -> str:
     )
     s = re.sub(r"^mid_motion", r"mid_block.motion_modules.0.temporal_transformer", s)
     s = re.sub(r"/block/attn_(\d+)", r".transformer_blocks.0.attention_blocks.\1", s)
+    # motion VersatileAttention wraps its out proj in ModuleList [Linear,
+    # Dropout] like every diffusers Attention -> .to_out.0 (the generic
+    # `attn*/to_out` rewrite in _tx_block_suffix can't see it once the
+    # path segment is `attention_blocks.N`)
+    s = re.sub(r"(attention_blocks\.\d+)/to_out", r"\1.to_out.0", s)
     s = re.sub(r"/block/norm_(\d+)", r".transformer_blocks.0.norms.\1", s)
     s = re.sub(r"/block/ff_norm", r".transformer_blocks.0.ff_norm", s)
     s = re.sub(
@@ -550,7 +573,9 @@ def convert(
                 refused.append(f"{our_key} <- {tk}")
             continue
         used.add(tk)
-        out[our_key] = to_flax_tensor(our_key, leaf.shape, merged[tk])
+        out[our_key] = to_flax_tensor(
+            our_key, leaf.shape, merged[tk], getattr(leaf, "dtype", None)
+        )
     if refused:
         raise KeyError(
             f"{len(refused)} params missing from checkpoint and not covered "
