@@ -67,7 +67,12 @@ class Lmks2VideoPipeline:
         # features: encode via a passthrough pseudo-video. The base
         # pipeline's pose_guider consumes raw (1,F,H,W,3) video, so we
         # instead call the shared jitted stages directly.
-        state = self.base.scheduler.init(kwargs.get("num_inference_steps", 30))
+        from mmgt_tpu.diffusion.solver import solver_tables_for
+
+        steps = kwargs.get("num_inference_steps", 30)
+        state = solver_tables_for(self.base.scheduler, steps)
+        if state is None:
+            state = self.base.scheduler.init(steps)
         from mmgt_tpu.pipelines.context import compute_context_schedule
 
         f = lmks_a_video.shape[1]
@@ -88,7 +93,13 @@ class Lmks2VideoPipeline:
         from mmgt_tpu.pipelines.pose2vid import _largest_divisor_at_most
 
         k = _largest_divisor_at_most(state.timesteps.shape[0], k)
-        aux = self.base.scheduler.init_carry(latents)
+        from mmgt_tpu.diffusion.solver import SolverTables, init_solver_carry
+
+        aux = (
+            init_solver_carry(latents)
+            if isinstance(state, SolverTables)
+            else self.base.scheduler.init_carry(latents)
+        )
         for o in range(0, state.timesteps.shape[0], k):
             chunk = type(state)(*[x[o : o + k] for x in state])
             latents, aux = self.base._denoise_chunk(
@@ -100,5 +111,6 @@ class Lmks2VideoPipeline:
                 windows[o : o + k],
                 kwargs.get("guidance_scale", 3.5),
                 tuple(kwargs.get("motion_scale", (1.0, 1.0, 1.0))),
+                prediction_type=self.base.scheduler.prediction_type,
             )
         return self.base._decode(params, latents)

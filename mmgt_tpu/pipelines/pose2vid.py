@@ -124,7 +124,14 @@ class Pose2VideoPipeline:
             np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
         f = pose_video.shape[1]
-        state = self.scheduler.init(num_inference_steps)
+        # scheduler-agnostic tables: DDIM(eta=0) and DPM++(2M) share ONE
+        # compiled chunk program (diffusion/solver.py); schedulers outside
+        # the generic family fall back to their own step_carry
+        from mmgt_tpu.diffusion.solver import solver_tables_for
+
+        state = solver_tables_for(self.scheduler, num_inference_steps)
+        if state is None:
+            state = self.scheduler.init(num_inference_steps)
         windows = jnp.asarray(
             compute_context_schedule(
                 num_inference_steps, f, self.context_size, 1, self.context_overlap
@@ -143,7 +150,13 @@ class Pose2VideoPipeline:
         k = _largest_divisor_at_most(
             num_inference_steps, self.steps_per_launch or num_inference_steps
         )
-        aux = self.scheduler.init_carry(latents)  # multistep history ((), DDIM)
+        from mmgt_tpu.diffusion.solver import SolverTables, init_solver_carry
+
+        aux = (
+            init_solver_carry(latents)  # x0 history (shared across samplers)
+            if isinstance(state, SolverTables)
+            else self.scheduler.init_carry(latents)
+        )
         for o in range(0, num_inference_steps, k):
             chunk_state = type(state)(*[x[o : o + k] for x in state])
             latents, aux = self._denoise_chunk(
@@ -155,6 +168,7 @@ class Pose2VideoPipeline:
                 windows[o : o + k],
                 guidance_scale,
                 tuple(motion_scale),
+                prediction_type=self.scheduler.prediction_type,
             )
         if self.profile_phases:
             _sync(latents)
@@ -263,7 +277,7 @@ class Pose2VideoPipeline:
     @functools.partial(
         jax.jit,
         static_argnums=(0,),
-        static_argnames=("guidance_scale", "motion_scale"),
+        static_argnames=("guidance_scale", "motion_scale", "prediction_type"),
     )
     def _denoise_chunk(
         self,
@@ -271,10 +285,11 @@ class Pose2VideoPipeline:
         latents,
         aux,
         cond,
-        state,  # DDIMState | DPMState — per-chunk slices of the step tables
+        state,  # SolverTables (generic) | DDIMState — per-chunk table slices
         windows: jnp.ndarray,
         guidance_scale: float,
         motion_scale: Tuple[float, float, float],
+        prediction_type: str = "v_prediction",
     ) -> jnp.ndarray:
         dtype = self.denoising_unet.dtype
         f = latents.shape[0]
@@ -355,9 +370,16 @@ class Pose2VideoPipeline:
             u = seg(uncond) / count
             c = seg(cond_p) / count
             noise_pred = u + guidance_scale * (c - u)
-            latents, aux = self.scheduler.step_carry(
-                state, noise_pred, s, latents, aux
-            )
+            from mmgt_tpu.diffusion.solver import SolverTables, solver_step
+
+            if isinstance(state, SolverTables):
+                latents, aux = solver_step(
+                    state, noise_pred, s, latents, aux, prediction_type
+                )
+            else:
+                latents, aux = self.scheduler.step_carry(
+                    state, noise_pred, s, latents, aux
+                )
             return (latents, aux), None
 
         (latents, aux), _ = jax.lax.scan(
