@@ -1,0 +1,291 @@
+#!/usr/bin/env python
+"""Synthesize a FULL reference-layout weights directory (VERDICT r4 #2/#5).
+
+No real checkpoints ship in this image, so converter/loader bugs could
+survive until weights-day. This tool manufactures the exact directory the
+reference's inference expects (scripts/audio2vid.py:193-272 +
+config/prompts/animation.yaml:1-8,31-38), with AUTHORITATIVE key sets:
+
+  * stable-diffusion-v1-5/unet/        <- the reference's OWN
+    UNet2DConditionModel at full SD1.5 config (via tests/diffusers_stub)
+  * net-32500.pth                      <- Net wrapper of the reference's
+    own 2D/3D UNets (motion+audio modules), pose_guider, audioproj —
+    prefixed exactly like train_stage_2.py's Net state dict
+  * mm_sd_v15_v2.ckpt                  <- motion_modules.* subset
+  * wav2vec2-base-960h/                <- HF transformers Wav2Vec2Model
+  * sd-vae-ft-mse/, image_encoder/, wavlm/WavLM-Large.pt, smga.pt
+    <- inverse-mapped from our converter tables (canonical-key parity for
+    these is covered by the HF round-trip tests)
+
+All tensors are random fp16 (like the published ckpts) and SMALL ONLY in
+value entropy — shapes are full-size, so `scripts/verify_weights.py` runs
+its strict full-width shape checks for real.
+
+    python tools/synth_weights.py /tmp/synth_weights [--seed 0]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def _rand_like_sd(module, seed, scale=0.02):
+    """Replace a torch module's state dict values with deterministic
+    N(0, scale) fp16 (norm weights ~1)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    out = {}
+    for k, v in module.state_dict().items():
+        if not hasattr(v, "shape"):
+            continue
+        a = torch.randn(v.shape, generator=g) * scale
+        if k.endswith(".weight") and v.ndim == 1:
+            a = a + 1.0  # norm scales
+        out[k] = a.to(torch.float16)
+    return out
+
+
+def _inverse_tensor(our_key: str, arr):
+    """flax layout -> torch layout (inverse of convert.to_flax_tensor)."""
+    import numpy as np
+
+    leaf = our_key.rsplit("/", 1)[-1]
+    a = np.asarray(arr)
+    if leaf == "kernel":
+        if a.ndim == 4:
+            a = a.transpose(3, 2, 0, 1)      # HWIO -> OIHW
+        elif a.ndim == 3:
+            a = a.transpose(2, 1, 0)         # WIO -> OIW
+        elif a.ndim == 2:
+            a = a.T                          # (I,O) -> (O,I)
+    return a
+
+
+def _inverse_mapped_sd(tree, mapper, seed, scale=0.02):
+    """Synthetic torch state dict whose keys/shapes our converter consumes
+    strictly (random values; scale-leaves ~1)."""
+    import numpy as np
+    from flax import traverse_util
+
+    rng = np.random.default_rng(seed)
+    flat = traverse_util.flatten_dict(tree, sep="/")
+    sd = {}
+    for our_key, leaf in flat.items():
+        k = our_key.replace("params/", "", 1) if our_key.startswith("params/") else our_key
+        tk = mapper(k)
+        a = (rng.standard_normal(leaf.shape) * scale).astype(np.float32)
+        if k.endswith("/scale") or "norm" in k and a.ndim == 1:
+            a = a + 1.0
+        sd[tk] = _inverse_tensor(k, a).astype(np.float16)
+    return sd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    import torch
+
+    import diffusers_stub as ds
+
+    # ---------------------------------------------------------------- SD1.5
+    print("building reference UNet2DConditionModel (SD1.5 full config)...")
+    u2 = ds.load_reference_module("unet_2d_condition")
+    unet2d = u2.UNet2DConditionModel.from_config(
+        dict(
+            in_channels=4, out_channels=4, center_input_sample=False,
+            flip_sin_to_cos=True, freq_shift=0,
+            down_block_types=["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"],
+            up_block_types=["UpBlock2D"] + ["CrossAttnUpBlock2D"] * 3,
+            block_out_channels=[320, 640, 1280, 1280], layers_per_block=2,
+            act_fn="silu", norm_num_groups=32, norm_eps=1e-5,
+            cross_attention_dim=768, attention_head_dim=8,
+        )
+    )
+    sd_unet2d = _rand_like_sd(unet2d, args.seed)
+    d = out / "stable-diffusion-v1-5" / "unet"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "config.json").write_text(json.dumps({
+        "_class_name": "UNet2DConditionModel",
+        "in_channels": 4, "out_channels": 4, "center_input_sample": False,
+        "flip_sin_to_cos": True, "freq_shift": 0,
+        "down_block_types": ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"],
+        "up_block_types": ["UpBlock2D"] + ["CrossAttnUpBlock2D"] * 3,
+        "block_out_channels": [320, 640, 1280, 1280], "layers_per_block": 2,
+        "act_fn": "silu", "norm_num_groups": 32, "norm_eps": 1e-5,
+        "cross_attention_dim": 768, "attention_head_dim": 8,
+    }))
+    torch.save(sd_unet2d, d / "diffusion_pytorch_model.bin")
+    del unet2d
+
+    # --------------------------------------------------------- 3D UNet + mm
+    print("building reference UNet3DConditionModel (full, motion+audio)...")
+    u3 = ds.load_reference_module("unet_3d")
+    unet3d = u3.UNet3DConditionModel.from_config(
+        dict(
+            in_channels=4, out_channels=4, center_input_sample=False,
+            flip_sin_to_cos=True, freq_shift=0,
+            down_block_types=["CrossAttnDownBlock3D"] * 3 + ["DownBlock3D"],
+            mid_block_type="UNetMidBlock3DCrossAttn",
+            up_block_types=["UpBlock3D"] + ["CrossAttnUpBlock3D"] * 3,
+            block_out_channels=[320, 640, 1280, 1280], layers_per_block=2,
+            act_fn="silu", norm_num_groups=32, norm_eps=1e-5,
+            cross_attention_dim=768, attention_head_dim=8,
+            use_inflated_groupnorm=True,
+            unet_use_cross_frame_attention=False,
+            unet_use_temporal_attention=False,
+            use_motion_module=True, motion_module_resolutions=[1, 2, 4, 8],
+            motion_module_mid_block=True, motion_module_decoder_only=False,
+            motion_module_type="Vanilla",
+            motion_module_kwargs=dict(
+                num_attention_heads=8, num_transformer_block=1,
+                attention_block_types=["Temporal_Self", "Temporal_Self"],
+                temporal_position_encoding=True,
+                temporal_position_encoding_max_len=32,
+                temporal_attention_dim_div=1,
+            ),
+            use_audio_module=True, audio_attention_dim=768,
+            stack_enable_blocks_name=["up", "down", "mid"],
+            stack_enable_blocks_depth=[0, 1, 2, 3],
+        )
+    )
+    sd_unet3d = _rand_like_sd(unet3d, args.seed + 1)
+    del unet3d
+    torch.save(
+        {k: v for k, v in sd_unet3d.items() if "motion_modules." in k},
+        out / "mm_sd_v15_v2.ckpt",
+    )
+
+    # ----------------------------------------------- pose_guider, audioproj
+    pg_mod = ds.load_reference_module("pose_guider")
+    pose_guider = pg_mod.PoseGuider(
+        conditioning_embedding_channels=320,
+        block_out_channels=(16, 32, 96, 256),
+    )
+    sd_pg = _rand_like_sd(pose_guider, args.seed + 2)
+    ap_mod = ds.load_reference_module("audio_proj")
+    audioproj = ap_mod.AudioProjModel(
+        seq_len=5, blocks=12, channels=768, intermediate_dim=512,
+        output_dim=768, context_tokens=32,
+    )
+    sd_ap = _rand_like_sd(audioproj, args.seed + 3)
+
+    # Net wrapper ckpt exactly as train_stage_2.py saves it
+    print("writing net-32500.pth (Net wrapper)...")
+    net_sd = {}
+    for prefix, sd in (
+        ("reference_unet", sd_unet2d),
+        ("denoising_unet", sd_unet3d),
+        ("pose_guider", sd_pg),
+        ("audioproj", sd_ap),
+    ):
+        for k, v in sd.items():
+            net_sd[f"{prefix}.{k}"] = v
+    torch.save(net_sd, out / "net-32500.pth")
+    del net_sd, sd_unet2d, sd_unet3d
+
+    # ------------------------------------------------------------- wav2vec2
+    print("building HF wav2vec2-base-960h...")
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    w2v = Wav2Vec2Model(Wav2Vec2Config())
+    d = out / "wav2vec" / "wav2vec2-base-960h"
+    d.mkdir(parents=True, exist_ok=True)
+    torch.save(_rand_like_sd(w2v, args.seed + 4), d / "pytorch_model.bin")
+    (d / "config.json").write_text(Wav2Vec2Config().to_json_string())
+    del w2v
+
+    # ----------------------- inverse-mapped: vae / clip / wavlm / smga ----
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mmgt_tpu.utils import convert as cv
+
+    rng = jax.random.PRNGKey(0)
+
+    print("inverse-mapping sd-vae-ft-mse...")
+    from mmgt_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL()
+    tree = jax.eval_shape(
+        lambda: vae.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    )
+    d = out / "sd-vae-ft-mse"
+    d.mkdir(exist_ok=True)
+    torch.save(
+        {k: torch.from_numpy(v.copy())
+         for k, v in _inverse_mapped_sd(tree, cv.map_vae, args.seed + 5).items()},
+        d / "diffusion_pytorch_model.bin",
+    )
+
+    print("inverse-mapping image_encoder (CLIP vision)...")
+    from mmgt_tpu.models.clip_vision import CLIPVisionModel
+
+    clip = CLIPVisionModel()
+    tree = jax.eval_shape(
+        lambda: clip.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32))
+    )
+    d = out / "image_encoder"
+    d.mkdir(exist_ok=True)
+    torch.save(
+        {k: torch.from_numpy(v.copy())
+         for k, v in _inverse_mapped_sd(tree, cv.map_clip_vision, args.seed + 6).items()},
+        d / "pytorch_model.bin",
+    )
+
+    print("inverse-mapping WavLM-Large...")
+    from mmgt_tpu.models.wavlm import WavLMModel
+
+    wavlm = WavLMModel()
+    tree = jax.eval_shape(lambda: wavlm.init(rng, jnp.zeros((1, 16000))))
+    d = out / "wavlm"
+    d.mkdir(exist_ok=True)
+    torch.save(
+        {"model": {
+            k: torch.from_numpy(v.copy())
+            for k, v in _inverse_mapped_sd(tree, cv.map_wavlm, args.seed + 7).items()
+        }},
+        d / "WavLM-Large.pt",
+    )
+
+    # ------------------------------------------------------------- SMGA ---
+    print("building reference GestureDecoder (SMGA stage-1 ckpt)...")
+    sys.path.insert(0, "/root/reference/src")
+    from audio2pose_model.model import GestureDecoder  # noqa: E402
+
+    gd = GestureDecoder(
+        nfeats=402, seq_len=80, latent_dim=512, ff_size=1024,
+        num_layers=8, num_heads=8, dropout=0.1, cond_feature_dim=35,
+        activation=torch.nn.functional.gelu,
+    )
+    sd_gd = {
+        k: v for k, v in _rand_like_sd(gd, args.seed + 8).items()
+    }
+    torch.save(
+        {
+            "ema_state_dict": sd_gd,
+            "model_state_dict": sd_gd,
+            "normalizer": None,
+        },
+        out / "smga.pt",
+    )
+
+    total = sum(p.stat().st_size for p in out.rglob("*") if p.is_file())
+    print(f"synthetic weights at {out} ({total / 2**30:.2f} GiB)")
+
+
+if __name__ == "__main__":
+    main()
