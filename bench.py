@@ -164,6 +164,8 @@ def bench_audio2vid(fixture: bool = False):
 
         smga = SMGA(feature_type="baseline")
         w = load_all_weights(WEIGHTS, pipe, smga)
+        if w.get("smga_feature_type", "baseline") != smga.feature_type:
+            smga = SMGA(feature_type=w["smga_feature_type"])
         params, smga_params = w["pose2vid"], w["smga"]
         clip_model, clip_params = w.get("clip_model"), w.get("clip_params")
         audio_proc, wavlm_ext = w.get("audio_processor"), w.get("wavlm")

@@ -47,7 +47,40 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             and not hasattr(sd[wrapper], "numpy")
         ):
             sd = sd[wrapper]
-    return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return fold_weight_norm(
+        {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    )
+
+
+def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Materialize torch weight-norm parametrizations into plain weights.
+
+    HF wav2vec2's pos_conv (and any torch weight_norm module) checkpoints
+    as `X.weight_g` + `X.weight_v` (old API) or
+    `X.parametrizations.weight.original0/original1` (new API) instead of
+    `X.weight`; mappers address the effective weight
+    w = g * v / ||v||, with the norm over every axis where g has size 1.
+    (Caught by the synthetic-weights drill, tools/synth_weights.py.)"""
+    out = dict(sd)
+    pairs = []
+    for k in sd:
+        m = re.match(r"(.*)\.weight_g$", k)
+        if m and f"{m.group(1)}.weight_v" in sd:
+            pairs.append((m.group(1), k, f"{m.group(1)}.weight_v", ".weight"))
+        m = re.match(r"(.*)\.parametrizations\.weight\.original0$", k)
+        if m:
+            v_key = f"{m.group(1)}.parametrizations.weight.original1"
+            if v_key in sd:
+                pairs.append((m.group(1), k, v_key, ".weight"))
+    for base, g_key, v_key, leaf in pairs:
+        g, v = np.asarray(sd[g_key], np.float32), np.asarray(sd[v_key], np.float32)
+        axes = tuple(i for i, s in enumerate(g.shape) if s == 1) or tuple(
+            range(v.ndim - 1)
+        )
+        norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=axes, keepdims=True))
+        out[base + leaf] = (g * (v / norm)).astype(sd[v_key].dtype)
+        del out[g_key], out[v_key]
+    return out
 
 
 # ------------------------------------------------------------------ layout

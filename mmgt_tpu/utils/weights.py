@@ -41,14 +41,25 @@ def _warn(msg):
 
 
 def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
-    """Best-effort load of every model from a reference-style weights dir."""
+    """Best-effort load of every model from a reference-style weights dir.
+
+    Works on SHAPE-ONLY trees (jax.eval_shape): no flax init program ever
+    compiles — the r5 release-check drill showed the old real-init path
+    spending minutes on five full-size remote init compiles before the
+    first checkpoint byte was read. Models whose checkpoint is absent or
+    rejected get deterministic non-degenerate random fill
+    (utils/testing.fill_params) instead of a real init."""
+    from mmgt_tpu.utils.testing import fill_params
+
     root = Path(weights_dir)
     rng = jax.random.PRNGKey(0)
     out: Dict[str, Any] = {}
+    dt = pose2vid.denoising_unet.dtype
 
-    params = pose2vid.init_params(rng, 64, 64)
+    params = jax.eval_shape(lambda: pose2vid.init_params(rng, 64, 64))
 
-    def try_convert(name, tree, sd_paths, mapper, missing_ok=()):
+    def try_convert(name, tree, sd_paths, mapper, missing_ok=(),
+                    cast_f32=None):
         sds = []
         for p in sd_paths:
             if p is None:
@@ -61,20 +72,36 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
                 sds.append(cv.load_torch_state_dict(str(p)))
             except Exception as e:  # pragma: no cover
                 _warn(f"{name}: failed to read {p}: {e}")
+        def fill():
+            t = fill_params(tree, mode="random")
+            if cast_f32 is None:
+                return t
+            return jax.tree.map(
+                lambda x: x.astype(cast_f32)
+                if x.dtype == jnp.float32 else x, t,
+            )
+
         if not sds:
-            _warn(f"{name}: no checkpoint found, keeping random init")
-            return tree
+            _warn(f"{name}: no checkpoint found, using random fill")
+            return fill()
         try:
             new, report = cv.convert(tree, sds, mapper, missing_ok=missing_ok)
         except KeyError as e:
             # partially-matched checkpoint: loading it would silently break
-            # the model (VERDICT r1) — refuse, keep the full random init.
-            _warn(f"{name}: checkpoint does not cover the model, keeping "
-                  f"random init ({e})")
-            return tree
+            # the model (VERDICT r1) — refuse, keep a full random fill.
+            _warn(f"{name}: checkpoint does not cover the model, using "
+                  f"random fill ({e})")
+            return fill()
         if report["missing"]:
             _warn(f"{name}: {len(report['missing'])} allowed-missing params "
-                  "keep their init")
+                  "keep zeros")
+        if cast_f32 is not None:
+            # cast HOST-side so the f32 copy never occupies HBM
+            new = jax.tree.map(
+                lambda x: x.astype(cast_f32)
+                if getattr(x, "dtype", None) == jnp.float32 else x,
+                new,
+            )
         return jax.tree.map(jnp.asarray, new)
 
     # net-*.pth is the Net-wrapper checkpoint: split it into per-module
@@ -95,6 +122,7 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
         params["vae"],
         [_find(root, "sd-vae-ft-mse/diffusion_pytorch_model.*")],
         cv.map_vae,
+        cast_f32=dt,
     )
     params["reference_unet"] = try_convert(
         "reference_unet",
@@ -105,6 +133,11 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
             net_parts.get("reference_unet"),
         ],
         cv.map_unet2d,
+        # the reference deleted the ReferenceNet's unused output head
+        # (unet_2d_condition.py:645-653): trained ckpts lack
+        # conv_norm_out/conv_out; the banks are the only consumed output
+        missing_ok=(r"^(params/)?conv_(norm_)?out",),
+        cast_f32=dt,
     )
     params["denoising_unet"] = try_convert(
         "denoising_unet",
@@ -121,36 +154,64 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
         # keep their init instead of failing the whole load.
         missing_ok=(r"_(audio|motion)_", r"^mid_(audio|motion)",
                     r"audio_cross|zero_conv|motion_pe"),
+        cast_f32=dt,
     )
     params["pose_guider"] = try_convert(
         "pose_guider",
         params["pose_guider"],
         [_find(root, "pose_guider-*.pth"), net_parts.get("pose_guider")],
         cv.map_pose_guider,
+        cast_f32=dt,
     )
     params["audio_proj"] = try_convert(
         "audio_proj", params["audio_proj"],
         [_find(root, "audio_proj*.pth"), net_parts.get("audioproj")],
         cv.map_audio_proj,
+        cast_f32=dt,
     )
-    dt = pose2vid.denoising_unet.dtype
-    out["pose2vid"] = jax.tree.map(
-        lambda x: x.astype(dt) if x.dtype == jnp.float32 else x, params
-    )
+    out["pose2vid"] = params  # every subtree already cast + device-put
 
     smga_ckpt = _find(root, "smga*.pt*", "a2p*.pt*", "train-*.pt")
-    smga_params = smga.init_state(rng, 1).ema_params
+
+    def smga_shapes(mod):
+        return jax.eval_shape(lambda: mod.init_state(rng, 1)).ema_params
+
+    smga_params = None
+    out["smga_feature_type"] = smga.feature_type
     if smga_ckpt is not None:
+        sd = None
         try:
             sd = cv.load_smga_state_dict(str(smga_ckpt), ema=True)
-            smga_params, report = cv.convert(smga_params, [sd], cv.map_smga)
+            smga_params, report = cv.convert(
+                smga_shapes(smga), [sd], cv.map_smga
+            )
             _warn(f"smga: loaded {smga_ckpt}")
         except Exception as e:  # noqa: BLE001 - best-effort loader
-            _warn(f"smga: failed to convert {smga_ckpt}: {e}; random init")
-    else:
-        _warn("smga: no checkpoint found, keeping random init")
+            # the ckpt may be the OTHER feature width (wavlm 1059 vs
+            # baseline 35, reference SMGA.py:66) — retry before giving up
+            other = "baseline" if smga.feature_type == "wavlm" else "wavlm"
+            try:
+                if sd is None:
+                    raise e
+                from mmgt_tpu.training.stage1 import SMGA as _SMGA
+
+                smga_params, report = cv.convert(
+                    smga_shapes(_SMGA(feature_type=other)), [sd], cv.map_smga
+                )
+                out["smga_feature_type"] = other
+                _warn(f"smga: loaded {smga_ckpt} as feature_type={other} "
+                      f"(caller asked for {smga.feature_type})")
+            except Exception:  # noqa: BLE001
+                _warn(f"smga: failed to convert {smga_ckpt}: {e}; random fill")
+    if smga_params is None:
+        if smga_ckpt is None:
+            _warn("smga: no checkpoint found, using random fill")
+        smga_params = fill_params(smga_shapes(smga), mode="random")
     out["smga"] = jax.tree.map(jnp.asarray, smga_params)
 
+    # aux encoders ride along in the pipeline dtype: keeping CLIP +
+    # wav2vec + WavLM at f32 costs ~3.3 GiB of HBM and OOMs the degraded
+    # ~7.75 GiB relay chip next to the 4.8 GiB UNet stack
     clip_ckpt = _find(root, "image_encoder/model.*", "image_encoder/pytorch_model.*")
     if clip_ckpt is not None:
         from mmgt_tpu.models.clip_vision import CLIPVisionModel
@@ -161,7 +222,7 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
         )
         out["clip_model"] = model
         out["clip_params"] = try_convert(
-            "clip", tree, [clip_ckpt], cv.map_clip_vision
+            "clip", tree, [clip_ckpt], cv.map_clip_vision, cast_f32=dt
         )
 
     w2v_ckpt = _find(root, "wav2vec2-base-960h/pytorch_model.bin",
@@ -172,7 +233,8 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
 
         model = Wav2Vec2Model()
         tree = jax.eval_shape(lambda: model.init(rng, jnp.zeros((1, 16000)), 25))
-        w2v_params = try_convert("wav2vec2", tree, [w2v_ckpt], cv.map_wav2vec2)
+        w2v_params = try_convert("wav2vec2", tree, [w2v_ckpt],
+                                 cv.map_wav2vec2, cast_f32=dt)
         out["audio_processor"] = AudioProcessor(model, w2v_params)
 
     wavlm_ckpt = _find(root, "wavlm/WavLM-Large.pt", "WavLM-Large.pt")
@@ -182,7 +244,8 @@ def load_all_weights(weights_dir: str, pose2vid, smga) -> Dict[str, Any]:
 
         model = WavLMModel()
         tree = jax.eval_shape(lambda: model.init(rng, jnp.zeros((1, 16000))))
-        wl_params = try_convert("wavlm", tree, [wavlm_ckpt], cv.map_wavlm)
+        wl_params = try_convert("wavlm", tree, [wavlm_ckpt],
+                                cv.map_wavlm, cast_f32=dt)
         out["wavlm"] = WavLMFeatureExtractor(model, wl_params)
 
     return out

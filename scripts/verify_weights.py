@@ -148,6 +148,11 @@ def main():
             sds_of(sd15, _find(root, "reference_unet-*.pth"),
                    net_parts.get("reference_unet")),
             cv.map_unet2d,
+            # the reference DELETED the ReferenceNet's unused output head
+            # (unet_2d_condition.py:645-653), so its trained ckpts lack
+            # conv_norm_out/conv_out; they keep init (banks are the only
+            # consumed output)
+            missing_ok=(r"^(params/)?conv_(norm_)?out",),
         ),
     )
     den_tree = record(
@@ -229,11 +234,19 @@ def main():
     def smga_fn(p):
         from mmgt_tpu.training.stage1 import SMGA
 
-        smga = SMGA()
-        tree = smga.init_state(rng, 1).ema_params
         sd = cv.load_smga_state_dict(str(p), ema=True)
-        new, rep = cv.convert(tree, [sd], cv.map_smga)
-        return new, rep, {}
+        # the ckpt's cond width identifies its feature type: 1059 = wavlm
+        # (1024+35), 35 = baseline DSP (reference SMGA.py:66)
+        errs = []
+        for ft in ("wavlm", "baseline"):
+            smga = SMGA(feature_type=ft)
+            tree = smga.init_state(rng, 1).ema_params
+            try:
+                new, rep = cv.convert(tree, [sd], cv.map_smga)
+                return new, rep, {"feature_type": ft}
+            except (KeyError, AssertionError) as e:
+                errs.append(f"{ft}: {e}")
+        raise KeyError("; ".join(errs)[:400])
 
     record(
         "smga", _find(root, "smga*.pt*", "a2p*.pt*", "train-*.pt"), smga_fn

@@ -142,6 +142,8 @@ def main():
             pipe.scheduler = DPMSolverPlusPlus2M()
         smga = SMGA(feature_type="baseline")
         w = load_all_weights(weights, pipe, smga)
+        if w.get("smga_feature_type", "baseline") != smga.feature_type:
+            smga = SMGA(feature_type=w["smga_feature_type"])
 
         a2v = Audio2VideoPipeline(
             smga=smga, smga_params=w["smga"],

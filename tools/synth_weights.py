@@ -114,6 +114,17 @@ def main():
         )
     )
     sd_unet2d = _rand_like_sd(unet2d, args.seed)
+    # the reference's modified UNet2D deletes its output head, but the
+    # REAL SD1.5 checkpoint carries it — include the keys so the strict
+    # verifier sees the authoritative SD1.5 key set
+    g = torch.Generator().manual_seed(args.seed + 100)
+    sd15_extra = dict(sd_unet2d)
+    sd15_extra["conv_norm_out.weight"] = torch.ones(320, dtype=torch.float16)
+    sd15_extra["conv_norm_out.bias"] = torch.zeros(320, dtype=torch.float16)
+    sd15_extra["conv_out.weight"] = (
+        torch.randn(4, 320, 3, 3, generator=g) * 0.02
+    ).to(torch.float16)
+    sd15_extra["conv_out.bias"] = torch.zeros(4, dtype=torch.float16)
     d = out / "stable-diffusion-v1-5" / "unet"
     d.mkdir(parents=True, exist_ok=True)
     (d / "config.json").write_text(json.dumps({
@@ -126,8 +137,8 @@ def main():
         "act_fn": "silu", "norm_num_groups": 32, "norm_eps": 1e-5,
         "cross_attention_dim": 768, "attention_head_dim": 8,
     }))
-    torch.save(sd_unet2d, d / "diffusion_pytorch_model.bin")
-    del unet2d
+    torch.save(sd15_extra, d / "diffusion_pytorch_model.bin")
+    del unet2d, sd15_extra
 
     # --------------------------------------------------------- 3D UNet + mm
     print("building reference UNet3DConditionModel (full, motion+audio)...")
@@ -268,7 +279,10 @@ def main():
 
     gd = GestureDecoder(
         nfeats=402, seq_len=80, latent_dim=512, ff_size=1024,
-        num_layers=8, num_heads=8, dropout=0.1, cond_feature_dim=35,
+        num_layers=8, num_heads=8, dropout=0.1,
+        # wavlm feature width (1024+35, reference SMGA.py:66) — the
+        # published pipeline ships WavLM-Large, so its ckpt is this width
+        cond_feature_dim=1024 + 35,
         activation=torch.nn.functional.gelu,
     )
     sd_gd = {
