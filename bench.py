@@ -332,10 +332,20 @@ def bench_audio2vid(fixture: bool = False):
                     a2v.config, video_length=long_frames,
                     use_motion_selection=True, motion_candidates=3,
                 )
-                t0 = time.time()
-                a2v(jax.random.PRNGKey(0), wav_long, ref_img, kp.reshape(-1),
-                    video_length=long_frames)
-                comp[f"audio2vid_long{long_frames}_s"] = time.time() - t0
+                # the row's one new compile (stage-1 candidate-selection
+                # scan) runs at the end of a long session, where the relay
+                # compile helper sometimes 500s — one retry
+                for attempt in (0, 1):
+                    try:
+                        t0 = time.time()
+                        a2v(jax.random.PRNGKey(0), wav_long, ref_img,
+                            kp.reshape(-1), video_length=long_frames)
+                        comp[f"audio2vid_long{long_frames}_s"] = time.time() - t0
+                        break
+                    except Exception:
+                        if attempt:
+                            raise
+                        print("# long row retrying once", file=sys.stderr)
             except Exception as e:  # pragma: no cover - relay-dependent
                 comp[f"audio2vid_long{3 * FRAMES}_s"] = f"failed: {type(e).__name__}"
                 print(f"# long row failed: {e}", file=sys.stderr)

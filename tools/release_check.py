@@ -193,8 +193,11 @@ def main():
         frames = np.asarray(res["frames"])
         assert np.isfinite(frames.astype(np.float32)).all(), "non-finite frames"
         assert frames.any(), "all-zero frames"
+        if frames.ndim == 5:  # (1, F, H, W, 3) -> (F, H, W, 3)
+            frames = frames[0]
         mp4 = out / "release_check.mp4"
-        save_video(frames[0], str(mp4), fps=25)
+        save_video(frames, str(mp4), fps=25)
+        assert mp4.stat().st_size > 0
         return {
             "source": src, "wall_s": round(wall, 2),
             "timings": {k: round(v, 2) for k, v in a2v.timings.items()},
