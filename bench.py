@@ -26,7 +26,9 @@ BENCH_DPM (1 — adds the audio2vid_dpm{N}_s row, the quality-evidenced
 <10 s configuration; see PERF.md / tools/fewstep_quality.py),
 BENCH_DPM_STEPS (15; 12 = the measured "matches DDIM-25" point),
 BENCH_LONG (1 — adds the audio2vid_long{3*FRAMES}_s row: slice chaining +
-candidate selection + seam splines, reusing every compiled program).
+candidate selection + seam splines, reusing every compiled program),
+BENCH_TRAIN (1 — runs BENCH_MODE=train_stage2 in a subprocess FIRST and
+records train_stage2_step_s as a standing component).
 """
 import json
 import os
@@ -41,8 +43,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mmgt_tpu.utils.cache import cache_stats, enable_compilation_cache
 
-_CACHE_DIR = enable_compilation_cache()
-_CACHE_BEFORE = cache_stats(_CACHE_DIR) if _CACHE_DIR else None
+# deferred to main(): enable_compilation_cache queries the backend, which
+# would initialize this process's TPU client before the training-row
+# subprocess gets its exclusive window
+_CACHE_DIR = None
+_CACHE_BEFORE = None
+
+
+def _enable_cache():
+    global _CACHE_DIR, _CACHE_BEFORE
+    _CACHE_DIR = enable_compilation_cache()
+    _CACHE_BEFORE = cache_stats(_CACHE_DIR) if _CACHE_DIR else None
+
+
+def _train_row_subprocess(timeout_s: int = 1500):
+    """Run BENCH_MODE=train_stage2 in a SUBPROCESS and return its value.
+
+    Gives the driver bench a standing training-throughput row (VERDICT r4
+    next #6) without sharing HBM with the inference pipeline. Must run
+    BEFORE this process touches the TPU (one TPU process at a time on the
+    relay)."""
+    import subprocess
+
+    env = {**os.environ, "BENCH_MODE": "train_stage2", "BENCH_TRAIN": "0"}
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in reversed(rc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                row = json.loads(line)
+                return {
+                    "train_stage2_step_s": row["value"],
+                    "train_loss_finite": row["components"].get("loss_finite"),
+                }
+        return {"train_stage2_step_s": f"failed: rc={rc.returncode}"}
+    except Exception as e:  # pragma: no cover - relay-dependent
+        return {"train_stage2_step_s": f"failed: {type(e).__name__}"}
 
 STEPS = int(os.environ.get("BENCH_STEPS", "25"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "80"))
@@ -255,6 +293,66 @@ def bench_audio2vid(fixture: bool = False):
         # propagating (the relay occasionally faults under prolonged load).
         import dataclasses as _dc
 
+        if os.environ.get("BENCH_LONG", "1") == "1":
+            # Standing long-clip row (VERDICT r4 #7): 240 frames = 3 audio
+            # slices through the reference's full long-video machinery
+            # (slice chaining + candidate selection + seam splines,
+            # scripts/audio2vid.py:300-374). Stage-2 runs ONE 240-frame
+            # context-windowed generation exactly like the reference's
+            # single pipe(...) call — that needs fresh 240-frame compiles
+            # (prepare/denoise-chunk/decode, ~350 s measured solo), so
+            # this row runs FIRST among the secondaries: the remote
+            # compile helper degrades late in a long session (two HTTP
+            # 500s at minute ~45 in the r5 validation runs, while the
+            # same programs compile fine early).
+            try:
+                import wave as _wave
+
+                long_frames = 3 * FRAMES
+                wav_long = "/tmp/bench_a2v_long.wav"
+                sr = 16000
+                tt = np.arange(int(sr * long_frames / 25.0)) / sr
+                sig = (0.3 * np.sin(2 * np.pi * 220 * tt)
+                       * (1 + 0.5 * np.sin(2 * np.pi * 3 * tt)))
+                with _wave.open(wav_long, "w") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes((sig * 32767).astype(np.int16).tobytes())
+                a2v.config = _dc.replace(
+                    a2v.config, video_length=long_frames,
+                    use_motion_selection=True, motion_candidates=3,
+                )
+                for attempt in (0, 1):
+                    try:
+                        t0 = time.time()
+                        a2v(jax.random.PRNGKey(0), wav_long, ref_img,
+                            kp.reshape(-1), video_length=long_frames)
+                        comp[f"audio2vid_long{long_frames}_compile_s"] = round(
+                            time.time() - t0, 2)
+                        t0 = time.time()
+                        a2v(jax.random.PRNGKey(0), wav_long, ref_img,
+                            kp.reshape(-1), video_length=long_frames)
+                        comp[f"audio2vid_long{long_frames}_s"] = time.time() - t0
+                        break
+                    except Exception:
+                        if attempt:
+                            raise
+                        print("# long row retrying once after cool-down",
+                              file=sys.stderr)
+                        time.sleep(60)
+            except Exception as e:  # pragma: no cover - relay-dependent
+                comp[f"audio2vid_long{3 * FRAMES}_s"] = f"failed: {type(e).__name__}"
+                import traceback
+
+                print(f"# long row failed: {e}", file=sys.stderr)
+                traceback.print_exc(limit=12, file=sys.stderr)
+            finally:
+                a2v.config = _dc.replace(
+                    a2v.config, video_length=FRAMES,
+                    use_motion_selection=False,
+                )
+
         try:
             # Proposed fidelity-relaxed row toward the <10 s north star
             # (PERF.md): 15 trailing DDIM steps. The step count is *config*
@@ -307,53 +405,6 @@ def bench_audio2vid(fixture: bool = False):
                 pipe.scheduler = old
                 a2v.config = _dc.replace(a2v.config, num_inference_steps=STEPS)
 
-        if os.environ.get("BENCH_LONG", "1") == "1":
-            # Standing long-clip row (VERDICT r4 #7): 240 frames = 3 audio
-            # slices through the reference's full long-video machinery
-            # (slice chaining + candidate selection + seam splines,
-            # scripts/audio2vid.py:300-374). Each slice is the same
-            # 80-frame pipeline shape, so every compiled program is
-            # REUSED — the row costs runtime only.
-            try:
-                import wave as _wave
-
-                long_frames = 3 * FRAMES
-                wav_long = "/tmp/bench_a2v_long.wav"
-                sr = 16000
-                tt = np.arange(int(sr * long_frames / 25.0)) / sr
-                sig = (0.3 * np.sin(2 * np.pi * 220 * tt)
-                       * (1 + 0.5 * np.sin(2 * np.pi * 3 * tt)))
-                with _wave.open(wav_long, "w") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(sr)
-                    w.writeframes((sig * 32767).astype(np.int16).tobytes())
-                a2v.config = _dc.replace(
-                    a2v.config, video_length=long_frames,
-                    use_motion_selection=True, motion_candidates=3,
-                )
-                # the row's one new compile (stage-1 candidate-selection
-                # scan) runs at the end of a long session, where the relay
-                # compile helper sometimes 500s — one retry
-                for attempt in (0, 1):
-                    try:
-                        t0 = time.time()
-                        a2v(jax.random.PRNGKey(0), wav_long, ref_img,
-                            kp.reshape(-1), video_length=long_frames)
-                        comp[f"audio2vid_long{long_frames}_s"] = time.time() - t0
-                        break
-                    except Exception:
-                        if attempt:
-                            raise
-                        print("# long row retrying once", file=sys.stderr)
-            except Exception as e:  # pragma: no cover - relay-dependent
-                comp[f"audio2vid_long{3 * FRAMES}_s"] = f"failed: {type(e).__name__}"
-                print(f"# long row failed: {e}", file=sys.stderr)
-            finally:
-                a2v.config = _dc.replace(
-                    a2v.config, video_length=FRAMES,
-                    use_motion_selection=False,
-                )
     return best, comp, compile_s
 
 
@@ -459,6 +510,16 @@ def bench_train_stage2():
 
 
 def main():
+    train_row = None
+    if (
+        MODE == "audio2vid"
+        and STEPS == 25
+        and not WEIGHTS
+        and os.environ.get("BENCH_TRAIN", "1") == "1"
+    ):
+        # before any jax use in THIS process (TPU exclusivity)
+        train_row = _train_row_subprocess()
+    _enable_cache()
     if MODE == "train_stage2":
         best, comp, compile_s = bench_train_stage2()
         print(
@@ -487,6 +548,8 @@ def main():
             metric += "_long"
         if WEIGHTS:
             metric += "_realweights"
+        if train_row:
+            comp.update(train_row)
         fl = useful_flops()
         mfu = {}
         if "stage2_s" in comp:

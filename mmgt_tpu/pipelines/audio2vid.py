@@ -46,6 +46,36 @@ from mmgt_tpu.training.stage1 import SMGA
 HORIZON = 80  # frames per 3.2 s slice
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(1,))
+def _combine_cond_chunks(chunks, T: int):
+    """Concatenate per-chunk conditioning dicts along the frame axis and
+    trim to T frames, as ONE compiled program.
+
+    The eager composition this replaces is broken on the remote relay
+    backend: a single un-jitted jnp.concatenate to (1, 240, 512, 512, 3)
+    bf16 reproducibly dies with RESOURCE_EXHAUSTED / remote_compile HTTP
+    500 even on an otherwise-empty chip (r5 measurement) — large eager
+    ops through the relay are unreliable, jitted ones are fine."""
+    cat = lambda xs, ax: jnp.concatenate(xs, axis=ax)
+    return {
+        "pose_video": cat([c["pose_video"] for c in chunks], 1)[:, :T],
+        "masks": [
+            tuple(
+                cat([c["masks"][l][j] for c in chunks], 1)[:, :T]
+                for j in range(3)
+            )
+            for l in range(len(chunks[0]["masks"]))
+        ],
+        "mask_videos": {
+            name: cat([c["mask_videos"][name] for c in chunks], 0)[:T]
+            for name in chunks[0]["mask_videos"]
+        },
+    }
+
+
 def find_best_slice(candidates: List[np.ndarray], prev: np.ndarray) -> np.ndarray:
     """Pick the candidate whose start best continues the previous slice
     (position L1 + mean velocity-angle score, audio2vid.py:79-108)."""
@@ -261,21 +291,7 @@ class Audio2VideoPipeline:
             else keypoints
         )
         chunks = [self._prepare_cond(kp[o : o + k]) for o in range(0, T + pad, k)]
-        cat = lambda xs, ax: jnp.concatenate(xs, axis=ax)
-        return {
-            "pose_video": cat([c["pose_video"] for c in chunks], 1)[:, :T],
-            "masks": [
-                tuple(
-                    cat([c["masks"][l][j] for c in chunks], 1)[:, :T]
-                    for j in range(3)
-                )
-                for l in range(len(chunks[0]["masks"]))
-            ],
-            "mask_videos": {
-                name: cat([c["mask_videos"][name] for c in chunks], 0)[:T]
-                for name in chunks[0]["mask_videos"]
-            },
-        }
+        return _combine_cond_chunks(tuple(chunks), T)
 
     # -------------------------------------------------------- full path
     def __call__(
